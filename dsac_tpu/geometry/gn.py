@@ -1,0 +1,142 @@
+"""Differentiable Gauss-Newton PnP and soft-inlier pose refinement.
+
+Replaces the reference's refinement stack:
+  * OpenCV CV_ITERATIVE (LM) re-solves on inlier sets (core/cnn.h:1211,
+    core/cnn.h:832)  ->  weighted Gauss-Newton with LM damping, fixed
+    iteration counts under lax.scan;
+  * hard inlier threshold scan with a 100-point cap and 50-point abort
+    (core/cnn.h:1186-1204)  ->  soft sigmoid inlier weights over ALL
+    sampled points (on TPU, processing all 1600 points costs the same as
+    a capped subset and removes the data-dependent shapes);
+  * finite-difference replay dRefine (core/cnn.h:866-990)  ->  plain
+    autodiff through the unrolled scan (jax.checkpoint keeps memory flat).
+
+The residual is the 2D reprojection difference (what CV_ITERATIVE
+minimises), with analytic per-point Jacobians assembled in-line — cheaper
+and more fusion-friendly than jacfwd.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dsac_tpu.config import Camera
+from dsac_tpu.geometry.pose import Pose
+from dsac_tpu.geometry.rotation import hat, so3_exp
+
+_EPS = 1e-8
+
+
+def _residuals_and_jac(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
+                       cam: Camera):
+    """Per-point residual r_i = observed - projected (..., N, 2) and
+    Jacobian J_i = d(projected)/d(omega, dt) (..., N, 2, 6).
+
+    Pose increment convention: R' = exp(omega) R, t' = t + dt, so
+    d(eye)/d(omega) = -hat(R @ x), d(eye)/d(dt) = I.
+    """
+    rx = jnp.einsum("...ij,...nj->...ni", pose.R, obj)  # R @ x
+    eye = rx + pose.t[..., None, :]
+    z = eye[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < _EPS, -_EPS, z)
+    inv_z = 1.0 / z_safe
+    f = cam.focal
+
+    u = -f * eye[..., 0] * inv_z + cam.cx
+    v = f * eye[..., 1] * inv_z + cam.cy
+    r = pix - jnp.stack([u, v], axis=-1)  # (..., N, 2)
+
+    # d(u,v)/d(eye): u = -f ex/ez + cx -> du/de = (-f/ez, 0, f ex/ez^2)
+    #                v =  f ey/ez + cy -> dv/de = (0, f/ez, -f ey/ez^2)
+    zeros = jnp.zeros_like(z)
+    du_de = jnp.stack([-f * inv_z, zeros, f * eye[..., 0] * inv_z * inv_z],
+                      axis=-1)
+    dv_de = jnp.stack([zeros, f * inv_z, -f * eye[..., 1] * inv_z * inv_z],
+                      axis=-1)
+    duv_de = jnp.stack([du_de, dv_de], axis=-2)  # (..., N, 2, 3)
+
+    # d(eye)/d(omega, dt): [-hat(R x) | I]  (..., N, 3, 6)
+    de_dw = -hat(rx)  # (..., N, 3, 3)
+    de_dt = jnp.broadcast_to(jnp.eye(3, dtype=obj.dtype), de_dw.shape)
+    de_dp = jnp.concatenate([de_dw, de_dt], axis=-1)  # (..., N, 3, 6)
+
+    J = duv_de @ de_dp  # (..., N, 2, 6)
+    return r, J
+
+
+def gn_pnp(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
+           weights: jnp.ndarray, cam: Camera, iters: int = 4,
+           damping: float = 1e-4) -> Pose:
+    """Weighted Gauss-Newton PnP from an initial pose.
+
+    obj: (..., N, 3), pix: (..., N, 2), weights: (..., N) >= 0.
+    Fixed `iters` LM-damped steps; non-finite updates are rejected
+    (keeping the previous pose), mirroring the reference's NaN aborts
+    (core/cnn.h:1214-1215).
+    """
+    def step(carry, _):
+        p = carry
+        r, J = _residuals_and_jac(p, obj, pix, cam)
+        wJ = weights[..., None, None] * J  # (..., N, 2, 6)
+        JtJ = jnp.einsum("...nki,...nkj->...ij", wJ, J)  # (..., 6, 6)
+        Jtr = jnp.einsum("...nki,...nk->...i", wJ, r)  # (..., 6)
+        # LM damping scaled to the diagonal for unit invariance.
+        diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)
+        A = JtJ + (damping * diag + 1e-9)[..., None] * jnp.eye(6, dtype=r.dtype)
+        delta = jnp.linalg.solve(A, Jtr[..., None])[..., 0]  # (..., 6)
+        ok = jnp.all(jnp.isfinite(delta), axis=-1, keepdims=True)
+        delta = jnp.where(ok, delta, 0.0)
+        new_R = so3_exp(delta[..., :3]) @ p.R
+        new_t = p.t + delta[..., 3:]
+        return Pose(new_R, new_t), None
+
+    out, _ = jax.lax.scan(step, pose, None, length=iters)
+    return out
+
+
+def soft_inlier_weights(errors: jnp.ndarray, threshold: float,
+                        beta: float) -> jnp.ndarray:
+    """sigma((tau - r)/beta): smooth version of the reference's hard
+    ``diffMap < inlierThreshold2D`` test (core/cnn.h:1192)."""
+    return jax.nn.sigmoid((threshold - errors) / beta)
+
+
+def refine_pose(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray, cam: Camera,
+                steps: int = 8, inner_iters: int = 2,
+                threshold: float = 10.0, beta: float = 1.0,
+                min_inliers: float = 50.0, damping: float = 1e-4,
+                max_error: float = 100.0,
+                remat: bool = True) -> tuple[Pose, jnp.ndarray]:
+    """Iteratively-reweighted refinement of one (or a batch of) pose(s).
+
+    Mirrors the refinement loop in processImage (core/cnn.h:1168-1230):
+      per outer step: recompute reprojection errors -> inlier weights ->
+      PnP re-solve seeded with the current pose.  Aborts (freezes the pose)
+      when the soft inlier mass drops below `min_inliers`, the analogue of
+      the reference's ``localImgPts.size() < 50`` break (core/cnn.h:1203).
+
+    Returns (refined_pose, final_soft_inlier_count).
+    """
+    def outer(carry, _):
+        p, alive = carry
+        r, _J = _residuals_and_jac(p, obj, pix, cam)
+        err = jnp.sqrt(jnp.sum(r * r, axis=-1) + _EPS)
+        err = jnp.minimum(err, max_error)
+        w = soft_inlier_weights(err, threshold, beta)
+        n_in = jnp.sum(w, axis=-1)
+        alive = jnp.logical_and(alive, n_in >= min_inliers)
+
+        new_p = gn_pnp(p, obj, pix, w, cam, iters=inner_iters,
+                       damping=damping)
+        ok = (jnp.all(jnp.isfinite(new_p.R), axis=(-2, -1))
+              & jnp.all(jnp.isfinite(new_p.t), axis=-1))
+        keep = jnp.logical_and(alive, ok)
+        p = Pose(jnp.where(keep[..., None, None], new_p.R, p.R),
+                 jnp.where(keep[..., None], new_p.t, p.t))
+        return (p, alive), n_in
+
+    fn = jax.checkpoint(outer) if remat else outer
+    alive0 = jnp.ones(pose.t.shape[:-1], bool)
+    (refined, _), counts = jax.lax.scan(fn, (pose, alive0), None, length=steps)
+    return refined, counts[-1]
