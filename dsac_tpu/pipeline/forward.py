@@ -1,0 +1,155 @@
+"""DSAC forward passes (the processImage equivalents).
+
+The reference's forward (core/cnn.h:1028-1257) interleaves five stages with
+three process boundaries; here it is one traced JAX program:
+
+  stratified subsample -> coordinate CNN -> minimal-set P3P sampling ->
+  dense diff-map scoring -> softmax/draw -> soft-inlier GN refinement.
+
+Two selection variants, like the reference:
+  * process_frame        — DSAC: score CNN + probabilistic winner draw
+                           (core/cnn.h)
+  * process_frame_softam — soft-argmax: softmax-weighted average of the
+                           hypothesis pool is refined
+                           (core/cnn_softam.h:1082-1154)
+
+The coordinate and score networks enter as closures (`coord_fn`,
+`score_fn`) so the same pipeline serves patch nets, the dense FCN, the
+soft-inlier scoring head, or frozen models — and jax.grad through the
+closures gives end-to-end training.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsac_tpu.config import Camera, DSACConfig
+from dsac_tpu.geometry.gn import refine_pose
+from dsac_tpu.geometry.pose import Pose, pose_from_vec6, pose_to_vec6
+from dsac_tpu.ops.diffmap import diffmaps
+from dsac_tpu.ops.sampling import sample_minimal_sets, stratified_sample
+from dsac_tpu.ops.select import (draw_hypothesis, shannon_entropy,
+                                 softmax_scores)
+
+CoordFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+ScoreFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class FrameResult(NamedTuple):
+    """Everything the training/eval paths need from one frame."""
+
+    sampling: jnp.ndarray  # (G, G, 2) sampled pixel locations (x, y)
+    coords: jnp.ndarray  # (N, 3) predicted scene coordinates, mm
+    hyps: Pose  # (H,) unrefined P3P hypotheses
+    hyp_valid: jnp.ndarray  # (H,) bool
+    minimal_indices: jnp.ndarray  # (H, 4) indices into the N samples
+    dmaps: jnp.ndarray  # (H, G, G) reprojection-error images
+    scores: jnp.ndarray  # (H,) raw CNN / soft-inlier scores
+    probs: jnp.ndarray  # (H,) softmax distribution
+    entropy: jnp.ndarray  # () Shannon entropy (bits)
+    chosen: jnp.ndarray  # () winning hypothesis index
+    refined: Pose  # (H,) refined hypotheses ('serve': only winner valid)
+    inlier_counts: jnp.ndarray  # (H,) final soft inlier counts
+    final: Pose  # () the selected refined pose
+
+
+def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
+               cam: Camera, cfg: DSACConfig):
+    """Shared front: sampling -> coords (mm) -> hypotheses -> diffmaps."""
+    k_samp, k_hyp = jax.random.split(key)
+    grid = cfg.net.subsample_size
+    sampling = stratified_sample(k_samp, cfg.data.image_width,
+                                 cfg.data.image_height, grid,
+                                 cfg.net.rgb_patch_size)
+    pix = sampling.reshape(-1, 2)
+    coords = coord_fn(image, pix) * 1000.0  # metres -> mm (core/cnn.h:330)
+    sets = sample_minimal_sets(k_hyp, coords, pix.astype(jnp.float32), cam,
+                               cfg.pose)
+    dm = diffmaps(sets.poses, coords, pix.astype(jnp.float32), cam,
+                  cfg.pose.max_reprojection_error)
+    return sampling, pix, coords, sets, dm.reshape(-1, grid, grid)
+
+
+def _take_pose(p: Pose, idx: jnp.ndarray) -> Pose:
+    return Pose(p.R[idx], p.t[idx])
+
+
+def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
+                  score_fn: ScoreFn, cam: Camera, cfg: DSACConfig,
+                  refine_all: bool = True) -> FrameResult:
+    """DSAC forward pass for one frame (core/cnn.h:1028-1257).
+
+    refine_all=True refines the whole pool (training needs every loss for
+    the expectation, core/cnn.h:1154); False refines only the drawn winner
+    (the low-latency serve path).
+    """
+    k_front, k_draw = jax.random.split(key)
+    sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
+                                                 cam, cfg)
+    pixf = pix.astype(jnp.float32)
+
+    scores = score_fn(dm)
+    # Invalid hypotheses (no self-consistent minimal set) are buried, the
+    # analogue of the reference's zero-pose fallback scoring terribly.
+    scores = jnp.where(sets.valid, scores, -1e9)
+    probs = softmax_scores(scores)
+    ent = shannon_entropy(probs)
+    chosen = draw_hypothesis(k_draw, scores, cfg.pose.random_draw)
+
+    p = cfg.pose
+    refine = lambda pose0: refine_pose(
+        pose0, coords, pixf, cam, steps=p.refinement_steps,
+        inner_iters=p.gn_inner_steps, threshold=p.inlier_threshold_2d,
+        beta=p.inlier_beta, min_inliers=p.min_inliers, damping=p.gn_damping,
+        max_error=p.max_reprojection_error)
+
+    if refine_all:
+        refined, n_in = jax.vmap(refine)(sets.poses)
+        final = _take_pose(refined, chosen)
+    else:
+        final, n_chosen = refine(_take_pose(sets.poses, chosen))
+        refined = sets.poses  # unrefined pool (placeholder)
+        n_in = jnp.zeros(scores.shape).at[chosen].set(n_chosen)
+
+    return FrameResult(sampling, coords, sets.poses, sets.valid,
+                       sets.indices, dm, scores, probs, ent, chosen,
+                       refined, n_in, final)
+
+
+def process_frame_softam(key: jax.Array, image: jnp.ndarray,
+                         coord_fn: CoordFn, score_fn: ScoreFn, cam: Camera,
+                         cfg: DSACConfig) -> FrameResult:
+    """Soft-argmax forward pass (core/cnn_softam.h:960-1180).
+
+    The softmax weights average the hypothesis pool directly — a linear
+    combination of (rodrigues, t) 6-vectors (core/cnn_softam.h:1082-1094)
+    — and only the averaged pose is refined (…:1099-1154).
+    """
+    k_front, _ = jax.random.split(key)
+    sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
+                                                 cam, cfg)
+    pixf = pix.astype(jnp.float32)
+
+    scores = score_fn(dm)
+    scores = jnp.where(sets.valid, scores, -1e9)
+    probs = softmax_scores(scores)
+    ent = shannon_entropy(probs)
+
+    vecs = pose_to_vec6(sets.poses)  # (H, 6)
+    avg = pose_from_vec6(jnp.sum(probs[:, None] * vecs, axis=0))
+
+    p = cfg.pose
+    final, n_in = refine_pose(
+        avg, coords, pixf, cam, steps=p.refinement_steps,
+        inner_iters=p.gn_inner_steps, threshold=p.inlier_threshold_2d,
+        beta=p.inlier_beta, min_inliers=p.min_inliers, damping=p.gn_damping,
+        max_error=p.max_reprojection_error)
+
+    chosen = jnp.argmax(probs)
+    return FrameResult(sampling, coords, sets.poses, sets.valid,
+                       sets.indices, dm, scores, probs, ent, chosen,
+                       sets.poses, jnp.broadcast_to(n_in, scores.shape),
+                       final)
