@@ -57,12 +57,17 @@ def triad_align(a: jnp.ndarray, b: jnp.ndarray) -> Pose:
     points are constructed from the solved depths) and far cheaper on TPU
     than a batched 3x3 SVD.
     """
+    def normalize(x):
+        # sqrt(|x|^2 + eps) keeps both value AND gradient finite at x = 0
+        # (x / max(|x|, eps) has a NaN gradient exactly at zero, which
+        # poisons shared upstream gradients even on masked lanes).
+        return x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+
     def triad(p):
         e0 = p[..., 1, :] - p[..., 0, :]
         e1 = p[..., 2, :] - p[..., 0, :]
-        n0 = e0 / jnp.maximum(jnp.linalg.norm(e0, axis=-1, keepdims=True), 1e-12)
-        c = jnp.cross(n0, e1)
-        n2 = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+        n0 = normalize(e0)
+        n2 = normalize(jnp.cross(n0, e1))
         n1 = jnp.cross(n2, n0)
         return jnp.stack([n0, n1, n2], axis=-1)  # columns are the triad
 

@@ -158,7 +158,12 @@ def _newton_polish_real(coeffs: jnp.ndarray, v0: jnp.ndarray,
         dpv = ((4 * a * v + 3 * b) * v + 2 * c) * v + d
         dpv = jnp.where(jnp.abs(dpv) < 1e-10, jnp.sign(dpv) * 1e-10 + 1e-12,
                         dpv)
-        v = v - pv / dpv
+        # Grunert roots are range ratios, O(0.1..10); clipping both the step
+        # and the iterate keeps every intermediate finite.  Any NaN/Inf
+        # anywhere in the graph — even on a masked-out candidate — would
+        # poison shared upstream gradients (0 cotangent x NaN Jacobian).
+        v = v - jnp.clip(pv / dpv, -100.0, 100.0)
+        v = jnp.clip(v, -1e3, 1e3)
     return v
 
 
@@ -209,9 +214,10 @@ def p3p_grunert(obj: jnp.ndarray, bear: jnp.ndarray) -> tuple[jnp.ndarray,
          - 2.0 * q[..., None] * cb[..., None] * v
          + 1.0 + q[..., None]) / denom_u
 
+    u = jnp.clip(u, -1e3, 1e3)
     s1_sq = b2_safe[..., None] / jnp.maximum(
         1.0 + v ** 2 - 2.0 * v * cb[..., None], _EPS)
-    s1 = jnp.sqrt(jnp.maximum(s1_sq, _EPS))
+    s1 = jnp.clip(jnp.sqrt(jnp.maximum(s1_sq, _EPS)), 0.0, 1e6)  # <= 1 km
     s2 = u * s1
     s3 = v * s1
 
@@ -223,6 +229,10 @@ def p3p_grunert(obj: jnp.ndarray, bear: jnp.ndarray) -> tuple[jnp.ndarray,
     valid = (is_real & (v > 0) & (u > 0)
              & jnp.all(jnp.isfinite(ranges), axis=-1)
              & nondegen[..., None])
+    # Sanitize invalid solutions at the SOURCE: NaN/Inf must never enter
+    # the graph even on masked lanes — their backward (0 cotangent x NaN
+    # local Jacobian) would contaminate the shared coordinate gradients.
+    ranges = jnp.where(valid[..., None], ranges, 1000.0)
     return ranges, valid
 
 
@@ -255,6 +265,13 @@ def solve_pnp_minimal(obj: jnp.ndarray, pix: jnp.ndarray, cam: Camera,
     cam_pts = ranges[..., :, None] * bear[..., None, :3, :]  # (...,4,3pts,3)
     obj3 = jnp.broadcast_to(obj[..., None, :3, :], cam_pts.shape)
     cand = triad_align(obj3, cam_pts)  # Pose with batch (..., 4)
+    # Belt-and-braces: masked lanes must stay finite (see p3p_grunert).
+    cand_ok = (jnp.all(jnp.isfinite(cand.R), axis=(-2, -1))
+               & jnp.all(jnp.isfinite(cand.t), axis=-1))
+    eye_c = jnp.broadcast_to(jnp.eye(3, dtype=cand.R.dtype), cand.R.shape)
+    cand = Pose(jnp.where(cand_ok[..., None, None], cand.R, eye_c),
+                jnp.where(cand_ok[..., None], cand.t, 0.0))
+    valid = valid & cand_ok
 
     # Disambiguate with the 4th point: smallest reprojection error wins.
     # (OpenCV's 4-point P3P does the same selection internally.)

@@ -34,16 +34,24 @@ _PREC = jax.lax.Precision.DEFAULT
 
 
 class PatchCoordNet(nn.Module):
-    """VGG-style patch net, reference-parity (core/lua/train_obj.lua:49-102)."""
+    """VGG-style patch net, reference-parity (core/lua/train_obj.lua:49-102).
+
+    width_mult/dense_mult scale channel/FC widths (1.0 = reference sizes:
+    convs 64..512, FCs 4096); tests use small multipliers.
+    """
 
     dtype: Any = jnp.bfloat16
+    width_mult: float = 1.0
+    dense_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, 42, 42, 3) raw RGB in [0, 255] -> (B, 3) coords (metres)."""
         x = (x - 127.0) / 1.0  # mean-127 normalisation (train_obj.lua:23)
         x = x.astype(self.dtype)
-        conv = lambda f, s, p: nn.Conv(f, (3, 3), strides=(s, s),
+        w = lambda f: max(8, int(f * self.width_mult))
+        fc = max(16, int(4096 * self.dense_mult))
+        conv = lambda f, s, p: nn.Conv(w(f), (3, 3), strides=(s, s),
                                        padding=p, dtype=self.dtype,
                                        precision=_PREC)
         x = nn.relu(conv(64, 1, "VALID")(x))   # 42 -> 40
@@ -56,9 +64,9 @@ class PatchCoordNet(nn.Module):
         x = nn.relu(conv(512, 1, [(1, 1), (1, 1)])(x))
         x = nn.relu(conv(512, 1, [(1, 1), (1, 1)])(x))
         x = nn.relu(conv(512, 2, "VALID")(x))  # -> 2
-        x = x.reshape(x.shape[0], -1)  # (B, 2*2*512)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, precision=_PREC)(x))
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, precision=_PREC)(x))
+        x = x.reshape(x.shape[0], -1)  # (B, 2*2*512*mult)
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, precision=_PREC)(x))
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, precision=_PREC)(x))
         x = nn.Dense(3, dtype=jnp.float32, precision=_PREC)(x)
         return x.astype(jnp.float32)
 

@@ -21,6 +21,7 @@ _PREC = jax.lax.Precision.DEFAULT
 
 class ScoreNet(nn.Module):
     dtype: Any = jnp.bfloat16
+    width_mult: float = 1.0  # 1.0 = reference sizes (convs 32..512, FC 1024)
 
     @nn.compact
     def __call__(self, d: jnp.ndarray) -> jnp.ndarray:
@@ -29,7 +30,8 @@ class ScoreNet(nn.Module):
             d = d[..., None]
         x = (d - 45.0) / 1.0  # mean normalisation (train_score.lua:24)
         x = x.astype(self.dtype)
-        conv = lambda f, s, p: nn.Conv(f, (3, 3), strides=(s, s),
+        w = lambda f: max(8, int(f * self.width_mult))
+        conv = lambda f, s, p: nn.Conv(w(f), (3, 3), strides=(s, s),
                                        padding=p, dtype=self.dtype,
                                        precision=_PREC)
         pad1 = [(1, 1), (1, 1)]
@@ -43,8 +45,9 @@ class ScoreNet(nn.Module):
         x = nn.relu(conv(256, 2, "VALID")(x))  # -> 2
         x = nn.relu(conv(512, 1, pad1)(x))   # 2
         x = nn.relu(conv(512, 2, pad1)(x))   # -> 1
-        x = x.reshape(x.shape[0], -1)  # (B, 512)
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype, precision=_PREC)(x))
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype, precision=_PREC)(x))
+        x = x.reshape(x.shape[0], -1)  # (B, 512*mult)
+        fc = max(16, int(1024 * self.width_mult))
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, precision=_PREC)(x))
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, precision=_PREC)(x))
         x = nn.Dense(1, dtype=jnp.float32, precision=_PREC)(x)
         return x[..., 0].astype(jnp.float32)

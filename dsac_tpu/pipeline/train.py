@@ -1,0 +1,267 @@
+"""Training: coordinate pre-training, score pre-training, end-to-end DSAC.
+
+Replaces the three training programs and their Lua optimizer halves:
+
+  * coord pre-training  — train_obj.cpp:292-332 + train_obj.lua:223-269:
+    L1 (mean Euclidean distance, MyL1Criterion.lua:7-20) on GT coords in
+    metres, Adam 1e-4 halved every 50k updates, batch 64.
+  * score pre-training  — train_score.cpp:166-234 + train_score.lua:162-207:
+    diff maps of GT poses perturbed at two noise levels (2deg/2mm vs
+    10deg/100mm), labels -temperature * maxLoss (temperature 10), Adam,
+    L1 on the scalar score.
+  * end-to-end DSAC     — train_ransac.cpp:134-409: expected pose loss
+    E_{h~softmax(s)}[maxLoss(refine(h))].  The reference assembles the
+    gradient by hand in two paths (pose path Σ s_h dLoss·dRefine_h +
+    REINFORCE score path dSMScore); jax.grad of the SAME scalar objective
+    produces both terms.  Coord-CNN output gradients are clamped to ±0.1
+    like the Lua side (train_obj.lua:20,172) via a custom_vjp identity.
+    Coord net: SGD 1e-5 momentum 0.9; score net: SGD 1e-7 momentum 0.9
+    (train_obj.lua:18-19, train_score.lua:18-19).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dsac_tpu.config import Camera, DSACConfig
+from dsac_tpu.geometry.loss import max_loss
+from dsac_tpu.geometry.pose import Pose, compose, pose_from_vec6
+from dsac_tpu.ops.diffmap import diffmaps
+from dsac_tpu.pipeline.forward import process_frame, process_frame_softam
+
+
+# ---------------------------------------------------------------------------
+# gradient clamp at the CNN output boundary (train_obj.lua:172)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def clamp_grad(x: jnp.ndarray, limit: float) -> jnp.ndarray:
+    return x
+
+
+def _clamp_grad_fwd(x, limit):
+    return x, limit
+
+
+def _clamp_grad_bwd(limit, g):
+    return jnp.clip(g, -limit, limit), None
+
+
+clamp_grad.defvjp(_clamp_grad_fwd, _clamp_grad_bwd)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def coord_l1_loss(pred_m: jnp.ndarray, gt_m: jnp.ndarray,
+                  mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean Euclidean distance in metres (MyL1Criterion.lua:7-20)."""
+    d = jnp.sqrt(jnp.sum((pred_m - gt_m) ** 2, axis=-1) + 1e-12)
+    if mask is None:
+        return jnp.mean(d)
+    return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def score_l1_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """AbsCriterion on scalar scores (train_score.lua:41)."""
+    return jnp.mean(jnp.abs(pred - label))
+
+
+# ---------------------------------------------------------------------------
+# optimizers (schedules per the Lua scripts)
+# ---------------------------------------------------------------------------
+
+def coord_pretrain_optimizer(lr: float = 1e-4,
+                             halve_every: int = 50_000) -> optax.GradientTransformation:
+    """Adam with step-halving (train_obj.lua:12-13, 263-266)."""
+    sched = lambda step: lr * (0.5 ** (step // halve_every))
+    return optax.adam(sched)
+
+
+def score_pretrain_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def e2e_optimizers() -> tuple[optax.GradientTransformation,
+                              optax.GradientTransformation]:
+    """(coord, score) SGD+momentum (train_obj.lua:18-19, train_score.lua:18-19)."""
+    return (optax.sgd(1e-5, momentum=0.9), optax.sgd(1e-7, momentum=0.9))
+
+
+class TrainState(NamedTuple):
+    """Joint end-to-end training state (both nets + optimizer states)."""
+
+    coord_params: Any
+    score_params: Any
+    coord_opt: Any
+    score_opt: Any
+    step: jnp.ndarray
+
+
+def make_e2e_state(coord_params, score_params) -> TrainState:
+    c_opt, s_opt = e2e_optimizers()
+    return TrainState(coord_params, score_params,
+                      c_opt.init(coord_params), s_opt.init(score_params),
+                      jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# pre-training steps
+# ---------------------------------------------------------------------------
+
+def coord_pretrain_step(params, opt_state, batch_patches, batch_coords_m,
+                        apply_fn: Callable,
+                        optimizer: optax.GradientTransformation):
+    """One Adam step on patch batch -> (params, opt_state, loss)."""
+
+    def loss_fn(p):
+        pred = apply_fn(p, batch_patches)
+        return coord_l1_loss(pred, batch_coords_m)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def dense_coord_pretrain_step(params, opt_state, images, coord_maps_m, masks,
+                              apply_fn: Callable,
+                              optimizer: optax.GradientTransformation):
+    """Dense-FCN variant: full images -> stride-8 coord maps, masked L1."""
+
+    def loss_fn(p):
+        pred = apply_fn(p, images)  # (B, H/8, W/8, 3) metres
+        return coord_l1_loss(pred, coord_maps_m, masks)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def random_pose_perturbation(key: jax.Array, sigma_rot_deg: float,
+                             sigma_trans_mm: float) -> Pose:
+    """getRandHyp (train_score.cpp:48-72): uniform random axis, gaussian
+    angle (deg) and gaussian per-axis translation (mm)."""
+    ka, kg, kt = jax.random.split(key, 3)
+    axis = jax.random.uniform(ka, (3,))
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+    angle = jax.random.normal(kg, ()) * sigma_rot_deg * jnp.pi / 180.0
+    trans = jax.random.normal(kt, (3,)) * sigma_trans_mm
+    return pose_from_vec6(jnp.concatenate([axis * angle, trans]))
+
+
+def make_score_batch(key: jax.Array, gt_pose: Pose, coords: jnp.ndarray,
+                     pix: jnp.ndarray, cam: Camera, cfg: DSACConfig,
+                     n_hyps: int = 16, temperature: float = 10.0):
+    """Score-CNN pre-training samples for one frame.
+
+    Mirrors train_score.cpp:166-234: half the hypotheses perturb the GT
+    pose within the "good" band (sigma 2deg/2mm), half in the "bad" band
+    (sigma 10deg/100mm); diff maps are rendered against the *predicted*
+    coordinates; label = -temperature * maxLoss(perturbed, gt)
+    (train_score.cpp:229, temperature train_score.cpp:139).
+    """
+    keys = jax.random.split(key, n_hyps)
+    sig_rot = jnp.where(jnp.arange(n_hyps) % 2 == 0, 2.0, 10.0)
+    sig_t = jnp.where(jnp.arange(n_hyps) % 2 == 0, 2.0, 100.0)
+    perts = jax.vmap(random_pose_perturbation)(keys, sig_rot, sig_t)
+    hyps = jax.vmap(lambda d: compose(gt_pose, d))(perts)
+
+    dm = diffmaps(hyps, coords, pix, cam, cfg.pose.max_reprojection_error)
+    grid = cfg.net.subsample_size
+    labels = -temperature * jax.vmap(lambda h: max_loss(h, gt_pose))(hyps)
+    return dm.reshape(n_hyps, grid, grid), labels
+
+
+def score_pretrain_step(params, opt_state, dmaps, labels,
+                        apply_fn: Callable,
+                        optimizer: optax.GradientTransformation):
+    def loss_fn(p):
+        pred = apply_fn(p, dmaps)
+        return score_l1_loss(pred, labels)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# end-to-end DSAC step
+# ---------------------------------------------------------------------------
+
+def e2e_expected_loss(coord_params, score_params, key: jax.Array,
+                      image: jnp.ndarray, gt_pose: Pose,
+                      coord_apply: Callable, score_apply: Callable,
+                      cam: Camera, cfg: DSACConfig,
+                      softam: bool = False,
+                      grad_clamp: float = 0.1):
+    """The scalar objective whose jax.grad IS the reference's two-path
+    backward (train_ransac.cpp:303-401).
+
+    coord_apply(params, image, pix) -> (N, 3) metres.
+    score_apply(params, dmaps) -> (H,) scores.
+    Returns (objective, aux) where the objective is E[loss] for DSAC or
+    maxLoss(refined average) for SoftAM (cnn_softam.h:1163).
+    """
+
+    def coord_fn(img, pix):
+        pred = coord_apply(coord_params, img, pix)
+        return clamp_grad(pred, grad_clamp)
+
+    def score_fn(dm):
+        return score_apply(score_params, dm)
+
+    if softam:
+        res = process_frame_softam(key, image, coord_fn, score_fn, cam, cfg)
+        objective = max_loss(res.final, gt_pose)
+        losses = max_loss(res.refined, gt_pose)
+    else:
+        res = process_frame(key, image, coord_fn, score_fn, cam, cfg,
+                            refine_all=True)
+        losses = max_loss(res.refined, gt_pose)
+        # Hypotheses with probability below 1e-4 are skipped by the
+        # reference's pose path for variance control (train_ransac.cpp:319);
+        # stop_gradient on their losses reproduces that exactly while
+        # keeping the score-path (REINFORCE) term intact.
+        skip = res.probs < 1e-4
+        losses_pose_path = jnp.where(skip, jax.lax.stop_gradient(losses),
+                                     losses)
+        objective = jnp.sum(res.probs * losses_pose_path)
+
+    aux = {
+        "expected_loss": jnp.sum(res.probs * jax.lax.stop_gradient(losses)),
+        "entropy": res.entropy,
+        "winner_loss": max_loss(res.final, gt_pose),
+        "valid_hyps": jnp.sum(res.hyp_valid),
+    }
+    return objective, aux
+
+
+def e2e_step(state: TrainState, key: jax.Array, image: jnp.ndarray,
+             gt_pose: Pose, coord_apply: Callable, score_apply: Callable,
+             cam: Camera, cfg: DSACConfig, softam: bool = False):
+    """One joint SGD update of both networks (one frame per round, like
+    train_ransac.cpp:241)."""
+    c_opt, s_opt = e2e_optimizers()
+
+    grad_fn = jax.value_and_grad(e2e_expected_loss, argnums=(0, 1),
+                                 has_aux=True)
+    (loss, aux), (g_coord, g_score) = grad_fn(
+        state.coord_params, state.score_params, key, image, gt_pose,
+        coord_apply, score_apply, cam, cfg, softam)
+
+    cu, c_state = c_opt.update(g_coord, state.coord_opt, state.coord_params)
+    su, s_state = s_opt.update(g_score, state.score_opt, state.score_params)
+    new_state = TrainState(
+        optax.apply_updates(state.coord_params, cu),
+        optax.apply_updates(state.score_params, su),
+        c_state, s_state, state.step + 1)
+    return new_state, loss, aux
