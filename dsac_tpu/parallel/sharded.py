@@ -1,0 +1,196 @@
+"""Sharded (SPMD) DSAC: hypothesis-pool + frame partitioning via shard_map.
+
+Per-device program layout for one frame on the 'hyp' axis (size Y):
+
+  patches   : each device runs the coordinate CNN on N/Y of the sampled
+              pixels, then all_gathers the full (N, 3) coordinate block —
+              the CNN FLOPs split Y-ways (no redundant compute);
+  hypotheses: each device samples/scores/refines H/Y hypotheses against
+              the full coordinate block;
+  softmax   : score logits all_gather over 'hyp' -> global distribution
+              (the collective form of core/cnn.h:1147);
+  E[loss]   : per-shard sum psum'd over 'hyp'
+              (the collective form of train_ransac.cpp:355-363);
+  winner    : owner-shard selection via masked psum.
+
+The 'data' axis is plain data parallelism over frames; gradients psum
+over both axes.  jax.grad composes with shard_map, so the training step
+is just grad-of-the-sharded-loss — collective transposes (all_gather <->
+psum_scatter) are inserted by JAX.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dsac_tpu.config import Camera, DSACConfig
+from dsac_tpu.geometry.gn import refine_pose
+from dsac_tpu.geometry.loss import max_loss
+from dsac_tpu.geometry.pose import Pose
+from dsac_tpu.ops.diffmap import diffmaps
+from dsac_tpu.ops.sampling import sample_minimal_sets, stratified_sample
+from dsac_tpu.ops.select import shannon_entropy
+from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
+
+
+def _local_slice(x: jnp.ndarray, axis_name: str, n_shards: int,
+                 axis: int = 0) -> jnp.ndarray:
+    """This device's equal slice of x along `axis`."""
+    idx = jax.lax.axis_index(axis_name)
+    size = x.shape[axis] // n_shards
+    return jax.lax.dynamic_slice_in_dim(x, idx * size, size, axis=axis)
+
+
+def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
+                          coord_fn: Callable, score_fn: Callable,
+                          cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
+                          gt_pose: Pose):
+    """Per-device body (inside shard_map) for ONE frame.
+
+    Returns (expected_loss, aux) where expected_loss is the full-pool
+    expectation (identical on every 'hyp' member after the psum).
+    `key` must be identical across the 'hyp' axis for the frame-level
+    randomness (sampling grid) and is folded with the axis index for the
+    per-shard hypothesis draws.
+    """
+    pcfg = cfg.pose
+    H_local = pcfg.num_hypotheses // n_hyp_shards
+    grid = cfg.net.subsample_size
+    shard = jax.lax.axis_index(HYP_AXIS)
+
+    k_samp, k_hyp = jax.random.split(key)
+
+    # --- coordinate CNN: patch axis sharded over 'hyp', then all_gather ---
+    sampling = stratified_sample(k_samp, cfg.data.image_width,
+                                 cfg.data.image_height, grid,
+                                 cfg.net.rgb_patch_size)
+    pix = sampling.reshape(-1, 2)
+    pix_local = _local_slice(pix, HYP_AXIS, n_hyp_shards)
+    coords_local = coord_fn(image, pix_local) * 1000.0  # mm
+    coords = jax.lax.all_gather(coords_local, HYP_AXIS, tiled=True)  # (N, 3)
+    pixf = pix.astype(jnp.float32)
+
+    # --- per-shard hypothesis pool ---
+    import dataclasses
+    local_cfg = dataclasses.replace(pcfg, num_hypotheses=H_local)
+    k_local = jax.random.fold_in(k_hyp, shard)
+    sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg)
+    dm = diffmaps(sets.poses, coords, pixf, cam,
+                  pcfg.max_reprojection_error)
+    scores_local = score_fn(dm.reshape(H_local, grid, grid))
+    scores_local = jnp.where(sets.valid, scores_local, -1e9)
+
+    # --- global softmax over the full pool (collective core/cnn.h:1147) ---
+    scores = jax.lax.all_gather(scores_local, HYP_AXIS, tiled=True)  # (H,)
+    probs = jax.nn.softmax(scores)
+    probs_local = _local_slice(probs, HYP_AXIS, n_hyp_shards)
+
+    # --- refinement of the local shard ---
+    refined_local, n_in = jax.vmap(lambda p0: refine_pose(
+        p0, coords, pixf, cam, steps=pcfg.refinement_steps,
+        inner_iters=pcfg.gn_inner_steps, threshold=pcfg.inlier_threshold_2d,
+        beta=pcfg.inlier_beta, min_inliers=pcfg.min_inliers,
+        damping=pcfg.gn_damping,
+        max_error=pcfg.max_reprojection_error))(sets.poses)
+
+    losses_local = max_loss(refined_local, gt_pose)  # (H_local,)
+    skip = probs_local < 1e-4  # variance control (train_ransac.cpp:319)
+    losses_pose_path = jnp.where(skip, jax.lax.stop_gradient(losses_local),
+                                 losses_local)
+    expected = jax.lax.psum(jnp.sum(probs_local * losses_pose_path),
+                            HYP_AXIS)
+
+    # --- winner (argmax) via owner-shard masked psum ---
+    winner = jnp.argmax(scores)
+    owner = winner // H_local
+    local_idx = winner - owner * H_local
+    is_owner = (owner == shard).astype(jnp.float32)
+    win_R = jax.lax.psum(refined_local.R[local_idx] * is_owner, HYP_AXIS)
+    win_t = jax.lax.psum(refined_local.t[local_idx] * is_owner, HYP_AXIS)
+
+    aux = {
+        "entropy": shannon_entropy(probs),
+        "winner_loss": max_loss(Pose(win_R, win_t), gt_pose),
+        "valid_hyps": jax.lax.psum(jnp.sum(sets.valid), HYP_AXIS),
+        "final_pose": Pose(win_R, win_t),
+    }
+    return expected, aux
+
+
+def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
+                          images: jnp.ndarray, gt_poses: Pose,
+                          coord_apply: Callable, score_apply: Callable,
+                          cam: Camera, cfg: DSACConfig, n_hyp_shards: int):
+    """Mean expected loss over this device's local frame batch.
+
+    Per-device body: vmaps sharded_process_frame over the local frames and
+    averages over the GLOBAL batch (psum over 'data').
+    """
+
+    def coord_fn_factory(img):
+        return lambda _img, pix: coord_apply(coord_params, img, pix)
+
+    def one_frame(key, image, gt_R, gt_t):
+        return sharded_process_frame(
+            key, image, coord_fn_factory(image),
+            lambda dm: score_apply(score_params, dm), cam, cfg,
+            n_hyp_shards, Pose(gt_R, gt_t))
+
+    losses, aux = jax.vmap(one_frame)(keys, images, gt_poses.R, gt_poses.t)
+    local_mean = jnp.mean(losses)
+    n_data = jax.lax.psum(1.0, DATA_AXIS)
+    global_mean = jax.lax.psum(local_mean, DATA_AXIS) / n_data
+    return global_mean, jax.tree.map(jnp.mean, {
+        k: v for k, v in aux.items() if k != "final_pose"})
+
+
+def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
+                     score_apply: Callable, cam: Camera, cfg: DSACConfig,
+                     coord_opt, score_opt):
+    """Build the jitted multi-device end-to-end training step.
+
+    Returns step(state_tuple, keys, images, gt_R, gt_t) where
+    state_tuple = (coord_params, score_params, coord_opt_state,
+    score_opt_state); images are (B, H, W, 3) sharded over 'data'; keys
+    are per-frame (B, 2) uint32.  Parameters are replicated; gradient
+    psums over both axes are inserted by shard_map's grad transpose plus
+    an explicit psum for the replicated-parameter sum.
+    """
+    n_hyp = mesh.shape[HYP_AXIS]
+
+    def per_device(coord_params, score_params, c_opt_state, s_opt_state,
+                   keys, images, gt_R, gt_t):
+        def loss_fn(cp, sp):
+            return sharded_expected_loss(cp, sp, keys, images,
+                                         Pose(gt_R, gt_t), coord_apply,
+                                         score_apply, cam, cfg, n_hyp)
+
+        (loss, aux), (g_c, g_s) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(coord_params,
+                                                   score_params)
+        # params are replicated; sum gradient contributions of all shards
+        g_c = jax.tree.map(lambda g: jax.lax.psum(g, (DATA_AXIS, HYP_AXIS)),
+                           g_c)
+        g_s = jax.tree.map(lambda g: jax.lax.psum(g, (DATA_AXIS, HYP_AXIS)),
+                           g_s)
+        cu, c_state = coord_opt.update(g_c, c_opt_state, coord_params)
+        su, s_state = score_opt.update(g_s, s_opt_state, score_params)
+        import optax
+        new_cp = optax.apply_updates(coord_params, cu)
+        new_sp = optax.apply_updates(score_params, su)
+        return new_cp, new_sp, c_state, s_state, loss, aux
+
+    rep = P()  # replicated
+    step = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep, rep, rep, rep,
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(rep, rep, rep, rep, rep, rep),
+        check_vma=False,
+    ))
+    return step

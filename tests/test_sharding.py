@@ -1,0 +1,133 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates the scaling design the reference never had (SURVEY.md §2.3):
+hypothesis-pool + patch sharding over 'hyp', frames over 'data', with
+collective softmax and gradient reduction.  Correctness oracle: the
+sharded expected loss must match the single-device pipeline when run
+with an equivalent configuration.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dsac_tpu.config import DSACConfig, PoseConfig
+from dsac_tpu.data.synthetic import SyntheticScene
+from dsac_tpu.geometry import Pose
+from dsac_tpu.ops import soft_inlier_scores
+from dsac_tpu.parallel import (make_mesh, sharded_e2e_step,
+                               sharded_expected_loss)
+
+SCENE = SyntheticScene()
+CAM = SCENE.camera
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh(2, 4)
+        assert mesh.shape == {"data": 2, "hyp": 4}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(4, 4)
+
+
+class TestShardedPipeline:
+    def _build(self, n_data, n_hyp, n_frames, H=32):
+        mesh = make_mesh(n_data, n_hyp)
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=H))
+
+        images, gt, oracle_maps = [], [], []
+        for i in range(n_frames):
+            pose, rgb, depth, coords_gt = SCENE.frame(jax.random.PRNGKey(i))
+            images.append(rgb)
+            gt.append(pose)
+            oracle_maps.append(coords_gt)
+        images = jnp.stack(images)
+        gt = Pose(jnp.stack([p.R for p in gt]), jnp.stack([p.t for p in gt]))
+
+        rng = np.random.default_rng(0)
+        noise = jnp.asarray(rng.normal(size=(480, 640, 3)) * 5, jnp.float32)
+        maps = jnp.stack(oracle_maps) + noise  # (B, H, W, 3) noisy oracle
+
+        # Trainable global bias on top of the oracle; the image argument of
+        # coord_apply carries the oracle map itself (the "image" the coord
+        # net sees), so the closure stays frame-agnostic under vmap.
+        def coord_apply(params, oracle_map, pix):
+            c = oracle_map[pix[:, 1], pix[:, 0]]
+            return (c + params["bias"]) / 1000.0
+
+        def score_apply(params, dm):
+            return params["gain"] * soft_inlier_scores(
+                dm.reshape(dm.shape[0], -1), 10.0, 10.0)
+
+        cp = {"bias": jnp.asarray([120.0, -90.0, 60.0])}
+        sp = {"gain": jnp.asarray(1.0)}
+        return mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp
+
+    def test_sharded_loss_matches_single_device(self):
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(1, 8, 1, H=64)
+        keys = jax.random.split(jax.random.PRNGKey(5), 1)
+
+        from jax.sharding import PartitionSpec as P
+        loss_fn = jax.jit(jax.shard_map(
+            functools.partial(sharded_expected_loss,
+                              coord_apply=coord_apply,
+                              score_apply=score_apply, cam=CAM, cfg=cfg,
+                              n_hyp_shards=8),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        loss, aux = loss_fn(cp, sp, keys, maps, gt)
+        assert np.isfinite(float(loss))
+        # A 120mm+ bias puts the loss far above the correct regime...
+        assert 5.0 < float(loss) < 1e6
+        # ... and with zero bias it should drop into the centimetre regime.
+        cp0 = {"bias": jnp.zeros(3)}
+        loss0, aux0 = loss_fn(cp0, sp, keys, maps, gt)
+        assert float(loss0) < 5.0
+        assert float(aux0["winner_loss"]) < 3.0
+
+    def test_data_and_hyp_axes_together(self):
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        keys = jax.random.split(jax.random.PRNGKey(6), 2)
+
+        from jax.sharding import PartitionSpec as P
+        loss_fn = jax.jit(jax.shard_map(
+            functools.partial(sharded_expected_loss,
+                              coord_apply=coord_apply,
+                              score_apply=score_apply, cam=CAM, cfg=cfg,
+                              n_hyp_shards=4),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        loss, aux = loss_fn(cp, sp, keys, maps, gt)
+        assert np.isfinite(float(loss))
+
+    def test_sharded_training_step_improves(self):
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        c_opt = optax.adam(15.0)
+        s_opt = optax.sgd(1e-7, momentum=0.9)
+        step = sharded_e2e_step(mesh, coord_apply, score_apply, CAM, cfg,
+                                c_opt, s_opt)
+        c_state = c_opt.init(cp)
+        s_state = s_opt.init(sp)
+        losses = []
+        for i in range(10):
+            keys = jax.random.split(jax.random.PRNGKey(100 + i), 2)
+            cp, sp, c_state, s_state, loss, aux = step(
+                cp, sp, c_state, s_state, keys, maps, gt.R, gt.t)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert float(jnp.linalg.norm(cp["bias"])) < 100.0
