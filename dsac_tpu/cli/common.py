@@ -1,0 +1,144 @@
+"""Shared CLI plumbing: frame sources, model builders, checkpoint glue."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsac_tpu.config import DSACConfig
+from dsac_tpu.data.synthetic import SyntheticScene
+from dsac_tpu.geometry.pose import Pose
+from dsac_tpu.models import DenseCoordNet, PatchCoordNet, ScoreNet
+from dsac_tpu.models.coord_net import extract_patches, gather_dense_coords
+from dsac_tpu.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class Frame:
+    rgb: np.ndarray  # (H, W, 3) float32 0..255
+    pose: Pose  # scene -> eye, mm
+    obj: np.ndarray | None = None  # (H, W, 3) GT scene coords mm (0=invalid)
+    depth: np.ndarray | None = None  # (H, W) mm
+
+
+class SyntheticSource:
+    """Procedural frames with exact GT (used when no dataset is given)."""
+
+    def __init__(self, n_frames: int, seed: int = 0, scene=None):
+        self.scene = scene or SyntheticScene()
+        self.n = n_frames
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i: int) -> Frame:
+        key = jax.random.PRNGKey(self.seed * 100003 + i)
+        pose, rgb, depth, coords = self.scene.frame(key)
+        return Frame(np.asarray(rgb, np.float32), pose,
+                     np.asarray(coords, np.float32),
+                     np.asarray(depth, np.float32))
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(self.n):
+            yield self.get(i)
+
+
+class SevenScenesSource:
+    """Frames from a 7-Scenes-layout directory (native decode)."""
+
+    def __init__(self, root: str | Path, config=None, with_obj: bool = True):
+        from dsac_tpu.data.seven_scenes import SevenScenesDataset
+        self.ds = SevenScenesDataset(root, config=config or
+                                     DSACConfig().data)
+        self.with_obj = with_obj
+
+    def __len__(self):
+        return len(self.ds)
+
+    def get(self, i: int) -> Frame:
+        rgb, depth, (R, t) = self.ds[i]
+        obj = self.ds.get_obj(i) if self.with_obj else None
+        return Frame(rgb.astype(np.float32),
+                     Pose(jnp.asarray(R, jnp.float32),
+                          jnp.asarray(t, jnp.float32)),
+                     obj, depth.astype(np.float32))
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(len(self)):
+            yield self.get(i)
+
+
+def make_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--data", type=str, default=None,
+                   help="7-Scenes-layout directory (training or test split)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N procedural frames instead of --data")
+    p.add_argument("--out", type=str, default="./out",
+                   help="output directory (checkpoints, logs)")
+    p.add_argument("--arch", choices=["dense", "patch"], default="dense",
+                   help="coordinate net: dense FCN (flagship) or "
+                        "reference-parity patch net")
+    p.add_argument("--width-mult", type=float, default=1.0,
+                   help="model width multiplier (tests/smoke use <1)")
+    p.add_argument("--rounds", type=int, default=None,
+                   help="override training rounds / eval frame count")
+    p.add_argument("--seed", type=int, default=1305)
+    return p
+
+
+def parse_with_flags(parser: argparse.ArgumentParser, argv=None):
+    """argparse for long options + reference short flags pass-through."""
+    from dsac_tpu import flags as flagmod
+    args, rest = parser.parse_known_args(argv)
+    cfg, strings = flagmod.load(rest)
+    return args, cfg, strings
+
+
+def frame_source(args, cfg: DSACConfig, split_hint: str = "training"):
+    if args.data:
+        return SevenScenesSource(args.data, cfg.data)
+    n = args.synthetic or 16
+    return SyntheticSource(n)
+
+
+def build_models(args, cfg: DSACConfig):
+    """(coord_net, score_net, coord_apply, score_apply) per --arch."""
+    wm = args.width_mult
+    score_net = ScoreNet(width_mult=wm)
+    if args.arch == "patch":
+        coord_net = PatchCoordNet(width_mult=wm, dense_mult=wm)
+
+        def coord_apply(params, image, pix):
+            patches = extract_patches(image, pix, cfg.net.rgb_patch_size)
+            return coord_net.apply(params, patches)
+    else:
+        coord_net = DenseCoordNet(width=max(8, int(64 * wm)))
+
+        def coord_apply(params, image, pix):
+            cmap = coord_net.apply(params, image[None])[0]
+            return gather_dense_coords(cmap, pix, stride=8)
+
+    def score_apply(params, dm):
+        return score_net.apply(params, dm)
+
+    return coord_net, score_net, coord_apply, score_apply
+
+
+def init_or_restore(out_dir, name, init_fn, template_fn=None):
+    """Restore `name` if a snapshot exists, else initialise."""
+    try:
+        step = ckpt.latest_step(out_dir, name)
+    except Exception:
+        step = None
+    if step is not None:
+        template = template_fn() if template_fn else init_fn()
+        return ckpt.restore(out_dir, name, template), step
+    return init_fn(), 0

@@ -1,0 +1,122 @@
+"""Evaluation over a test split (the reference's test_ransac program).
+
+Mirrors test_ransac.cpp:41-282: per frame, run the full DSAC forward,
+measure rotation/translation error of the selected refined pose against
+GT, write the per-frame error file and the summary (accuracy@5cm5deg,
+mean±σ expected loss, mean±σ entropy, median rot deg, median trans cm).
+`--softam` evaluates the soft-argmax variant (test_ransac_softam.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsac_tpu.ops.diffmap import soft_inlier_scores
+from dsac_tpu.pipeline import (evaluate_frame, process_frame,
+                               process_frame_softam, summarize)
+from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.logging import TestLog, blue, green, red
+from dsac_tpu.cli import common
+
+
+def main(argv=None, softam: bool = False):
+    p = common.make_parser(__doc__)
+    p.add_argument("--softam", action="store_true", default=softam)
+    p.add_argument("--model", choices=["endtoend", "init", "none"],
+                   default="endtoend",
+                   help="which snapshots to evaluate; 'none' runs the "
+                        "soft-inlier scoring head with an untrained or "
+                        "init coordinate net")
+    args, cfg, strings = common.parse_with_flags(p, argv)
+
+    source = common.frame_source(args, cfg, "test")
+    coord_net, score_net, coord_apply, score_apply = common.build_models(
+        args, cfg)
+    cam = cfg.data.camera()
+    grid = cfg.net.subsample_size
+    sample = source.get(0)
+
+    # model loading: endtoend > init > random
+    def load(name_e2e, name_init, init_fn):
+        for name in ([name_e2e, name_init] if args.model == "endtoend"
+                     else [name_init]):
+            try:
+                params = ckpt.restore(args.out, name)["params"]
+                print(blue(f"Loaded {name}."))
+                return params, name
+            except Exception:
+                continue
+        print(blue("Using freshly initialised net."))
+        return init_fn(), "random"
+
+    if args.arch == "dense":
+        coord_init = lambda: coord_net.init(
+            jax.random.PRNGKey(1), jnp.asarray(sample.rgb)[None])
+    else:
+        coord_init = lambda: coord_net.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, cfg.net.rgb_patch_size,
+                                              cfg.net.rgb_patch_size, 3)))
+    obj_e2e = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
+    score_e2e = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
+    coord_params, coord_src = load(obj_e2e, ckpt.OBJ_INIT, coord_init)
+
+    use_score_net = args.model != "none"
+    if use_score_net:
+        try:
+            score_params = ckpt.restore(
+                args.out, score_e2e if args.model == "endtoend"
+                else ckpt.SCORE_INIT)["params"]
+        except Exception:
+            use_score_net = False
+    if use_score_net:
+        score_fn = lambda dm: score_apply(score_params, dm)
+    else:
+        print(blue("Scoring with the soft-inlier head."))
+        score_fn = lambda dm: soft_inlier_scores(
+            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
+            cfg.pose.score_beta)
+
+    fwd = process_frame_softam if args.softam else process_frame
+    run = jax.jit(functools.partial(
+        fwd, coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
+        score_fn=score_fn, cam=cam, cfg=cfg))
+
+    variant = "softam" if args.softam else "dsac"
+    tag = f"{variant}_{args.arch}_{coord_src}_rdraw{int(cfg.pose.random_draw)}"
+    log = TestLog(args.out, tag)
+
+    n = len(source) if args.rounds is None else min(args.rounds, len(source))
+    rots, trans, exps, ents = [], [], [], []
+    for i in range(n):
+        f = source.get(i)
+        res = run(jax.random.PRNGKey(args.seed * 131 + i),
+                  image=jnp.asarray(f.rgb))
+        ev = evaluate_frame(res, f.pose)
+        rot = float(ev.rot_err_deg)
+        te = float(ev.trans_err_mm)
+        rots.append(rot)
+        trans.append(te)
+        exps.append(float(ev.expected_loss))
+        ents.append(float(ev.entropy))
+        log.frame(rot, te, float(ev.losses[int(res.chosen)]),
+                  float(res.probs[int(res.chosen)]), float(ev.entropy))
+        colour = green if bool(ev.correct) else red
+        print(colour(f"frame {i}: rot {rot:.2f} deg, trans {te:.1f} mm"))
+
+    stats = summarize(np.asarray(rots), np.asarray(trans),
+                      np.asarray(exps), np.asarray(ents))
+    log.summary(stats)
+    log.close()
+    print(green(
+        f"accuracy@5cm5deg {stats['accuracy_5cm5deg']*100:.1f}%  "
+        f"median rot {stats['median_rot_err_deg']:.2f} deg  "
+        f"median trans {stats['median_trans_err_cm']:.2f} cm"))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""End-to-end DSAC training (the reference's train_ransac program).
+
+Mirrors train_ransac.cpp:134-409: 5000 rounds, one random training frame
+per round, objective E_{h~softmax(s)}[maxLoss(refine(h))]; both CNNs are
+updated jointly (SGD 1e-5 / 1e-7 with momentum 0.9, gradient clamp 0.1).
+The reference's hand-built two-path gradient is jax.grad here.  Snapshots
+full train state (obj/score *_endtoend).  `--softam` switches to the
+soft-argmax objective (train_ransac_softam.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsac_tpu.pipeline.train import e2e_step, make_e2e_state
+from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.logging import TrainingLog, blue, green
+from dsac_tpu.cli import common
+
+
+def main(argv=None, softam: bool = False):
+    p = common.make_parser(__doc__)
+    p.add_argument("--training-rounds", type=int, default=5000,
+                   help="reference: 5000 (train_ransac.cpp:50)")
+    p.add_argument("--softam", action="store_true", default=softam)
+    p.add_argument("--snapshot-every", type=int, default=250)
+    args, cfg, strings = common.parse_with_flags(p, argv)
+    if args.rounds is not None:
+        args.training_rounds = args.rounds
+
+    source = common.frame_source(args, cfg)
+    coord_net, score_net, coord_apply, score_apply = common.build_models(
+        args, cfg)
+    rng = np.random.default_rng(args.seed)
+    cam = cfg.data.camera()
+    grid = cfg.net.subsample_size
+
+    sample = source.get(0)
+    try:
+        coord_params = ckpt.restore(args.out, ckpt.OBJ_INIT)["params"]
+        print(blue("Loaded obj_model_init."))
+    except Exception:
+        print(blue("No obj_model_init; initialising coordinate net."))
+        if args.arch == "dense":
+            coord_params = coord_net.init(jax.random.PRNGKey(1),
+                                          jnp.asarray(sample.rgb)[None])
+        else:
+            coord_params = coord_net.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, cfg.net.rgb_patch_size,
+                           cfg.net.rgb_patch_size, 3)))
+    try:
+        score_params = ckpt.restore(args.out, ckpt.SCORE_INIT)["params"]
+        print(blue("Loaded score_model_init."))
+    except Exception:
+        print(blue("No score_model_init; initialising score net."))
+        score_params = score_net.init(jax.random.PRNGKey(2),
+                                      jnp.zeros((1, grid, grid)))
+
+    state = make_e2e_state(coord_params, score_params)
+    step_fn = jax.jit(functools.partial(
+        e2e_step, coord_apply=coord_apply, score_apply=score_apply,
+        cam=cam, cfg=cfg, softam=args.softam))
+
+    tag = "softam" if args.softam else "e2e"
+    log = TrainingLog(f"{args.out}/ransac_training_loss_{tag}.txt")
+    obj_name = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
+    score_name = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
+
+    print(blue(f"End-to-end training ({tag}) for "
+               f"{args.training_rounds} rounds."))
+    for rnd in range(args.training_rounds):
+        f = source.get(int(rng.integers(len(source))))
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+        state, loss, aux = step_fn(state, key, jnp.asarray(f.rgb), f.pose)
+        log.append(rnd, float(loss), {
+            "expected": float(aux["expected_loss"]),
+            "entropy": float(aux["entropy"]),
+            "valid": float(aux["valid_hyps"])})
+        if rnd % 10 == 0:
+            print(f"round {rnd}: E[loss] {float(loss):.3f} "
+                  f"entropy {float(aux['entropy']):.2f} "
+                  f"valid {int(aux['valid_hyps'])}")
+        if (rnd + 1) % args.snapshot_every == 0 \
+                or rnd == args.training_rounds - 1:
+            ckpt.save(args.out, obj_name,
+                      {"params": state.coord_params,
+                       "opt_state": state.coord_opt,
+                       "step": int(state.step)}, step=rnd + 1)
+            ckpt.save(args.out, score_name,
+                      {"params": state.score_params,
+                       "opt_state": state.score_opt,
+                       "step": int(state.step)}, step=rnd + 1)
+    print(green("End-to-end training complete."))
+    return state
+
+
+if __name__ == "__main__":
+    main()

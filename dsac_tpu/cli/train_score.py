@@ -1,0 +1,112 @@
+"""Score-CNN pre-training (the reference's train_score program).
+
+Mirrors train_score.cpp:265-405: per round, frames are subsampled, the
+coordinate CNN predicts coordinates, the GT pose is perturbed at two
+noise bands, diff maps are rendered against the PREDICTED coordinates,
+and the score CNN regresses -10 * maxLoss with L1/Adam.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsac_tpu.ops.sampling import stratified_sample
+from dsac_tpu.pipeline.train import (make_score_batch,
+                                     score_pretrain_optimizer,
+                                     score_pretrain_step)
+from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.logging import TrainingLog, blue, green
+from dsac_tpu.cli import common
+
+
+def main(argv=None):
+    p = common.make_parser(__doc__)
+    p.add_argument("--training-rounds", type=int, default=80,
+                   help="reference: 80 (train_score.cpp:269)")
+    p.add_argument("--frames-per-round", type=int, default=100)
+    p.add_argument("--hyps-per-frame", type=int, default=16)
+    p.add_argument("--batch", type=int, default=64)
+    args, cfg, strings = common.parse_with_flags(p, argv)
+    if args.rounds is not None:
+        args.training_rounds = args.rounds
+
+    source = common.frame_source(args, cfg)
+    coord_net, score_net, coord_apply, score_apply = common.build_models(
+        args, cfg)
+    rng = np.random.default_rng(args.seed)
+    cam = cfg.data.camera()
+
+    # load the pre-trained coordinate net (obj_model_init)
+    try:
+        snap = ckpt.restore(args.out, ckpt.OBJ_INIT)
+        coord_params = snap["params"]
+        print(blue("Loaded obj_model_init."))
+    except Exception:
+        print(blue("No obj_model_init found; using random coordinate net."))
+        sample = source.get(0)
+        if args.arch == "dense":
+            coord_params = coord_net.init(jax.random.PRNGKey(1),
+                                          jnp.asarray(sample.rgb)[None])
+        else:
+            coord_params = coord_net.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, cfg.net.rgb_patch_size,
+                           cfg.net.rgb_patch_size, 3)))
+
+    grid = cfg.net.subsample_size
+    score_params = score_net.init(jax.random.PRNGKey(2),
+                                  jnp.zeros((1, grid, grid)))
+    opt = score_pretrain_optimizer()
+    opt_state = opt.init(score_params)
+    step_fn = jax.jit(functools.partial(
+        score_pretrain_step, apply_fn=lambda p_, d: score_net.apply(p_, d),
+        optimizer=opt))
+
+    @jax.jit
+    def predict_coords(params, image, key):
+        sampling = stratified_sample(key, cfg.data.image_width,
+                                     cfg.data.image_height, grid,
+                                     cfg.net.rgb_patch_size)
+        pix = sampling.reshape(-1, 2)
+        coords = coord_apply(params, image, pix) * 1000.0
+        return coords, pix.astype(jnp.float32)
+
+    batch_fn = jax.jit(functools.partial(make_score_batch, cam=cam, cfg=cfg,
+                                         n_hyps=args.hyps_per_frame))
+
+    log = TrainingLog(f"{args.out}/score_training_loss.txt")
+    update = 0
+    for rnd in range(args.training_rounds):
+        dmaps, labels = [], []
+        for _ in range(max(1, args.frames_per_round // 10)):
+            f = source.get(int(rng.integers(len(source))))
+            k = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+            coords, pix = predict_coords(coord_params,
+                                         jnp.asarray(f.rgb), k)
+            dm, lab = batch_fn(jax.random.PRNGKey(int(rng.integers(2 ** 31))),
+                               f.pose, coords, pix)
+            dmaps.append(dm)
+            labels.append(lab)
+        dmaps = jnp.concatenate(dmaps)
+        labels = jnp.concatenate(labels)
+        order = rng.permutation(len(dmaps))
+        for b0 in range(0, len(order) - args.batch + 1, args.batch):
+            sel = jnp.asarray(order[b0:b0 + args.batch])
+            score_params, opt_state, loss = step_fn(
+                score_params, opt_state, dmaps[sel], labels[sel])
+            update += 1
+        log.append(rnd, float(loss))
+        print(f"round {rnd}: score L1 {float(loss):.3f}")
+        ckpt.save(args.out, ckpt.SCORE_INIT,
+                  {"params": score_params, "opt_state": opt_state,
+                   "step": update}, step=update)
+    print(green(f"Done; snapshots in {args.out}/{ckpt.SCORE_INIT}"))
+    return score_params
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Checkpointing: full training-state snapshots via orbax.
+
+The reference snapshots WEIGHTS ONLY via torch.save every N updates
+(core/lua/train_obj.lua:209-213, 257-261) — no optimizer state, RNG, or
+step counter, so "resume" restarts the schedule.  Here the whole pytree
+(params, optimizer states, step, rng key) is saved and restored, and the
+reference's fixed model names (obj_model_init, score_model_init,
+obj_model_endtoend, score_model_endtoend; core/properties.cpp:69-70) are
+kept as snapshot directory names.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+OBJ_INIT = "obj_model_init"
+SCORE_INIT = "score_model_init"
+OBJ_E2E = "obj_model_endtoend"
+SCORE_E2E = "score_model_endtoend"
+OBJ_SOFTAM = "obj_model_softam_endtoend"
+SCORE_SOFTAM = "score_model_softam_endtoend"
+
+
+def save(directory: str | Path, name: str, state: Any, step: int | None = None,
+         keep: int = 3):
+    """Snapshot `state` (any pytree) under directory/name[/step]."""
+    path = Path(directory).resolve() / name
+    with ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    ) as mgr:
+        mgr.save(0 if step is None else int(step),
+                 args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def restore(directory: str | Path, name: str, template: Any = None,
+            step: int | None = None) -> Any:
+    """Restore the latest (or a specific) snapshot; `template` provides the
+    pytree structure/dtypes (required for typed restore)."""
+    path = Path(directory).resolve() / name
+    if not path.exists():
+        # avoid CheckpointManager's dir-creation side effect on probe reads
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    with ocp.CheckpointManager(path) as mgr:
+        target = mgr.latest_step() if step is None else int(step)
+        if target is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        if template is None:
+            return mgr.restore(target)
+        return mgr.restore(target,
+                           args=ocp.args.StandardRestore(template))
+
+
+def latest_step(directory: str | Path, name: str) -> int | None:
+    path = Path(directory).resolve() / name
+    if not path.exists():
+        return None
+    with ocp.CheckpointManager(path) as mgr:
+        return mgr.latest_step()

@@ -1,0 +1,70 @@
+"""Timing and profiling.
+
+Replaces StopWatch (core/stop_watch.h:35-74) and the per-stage console
+timing prints inside processImage (core/cnn.h:1060-1232), and adds what
+the reference never had: real profiler traces (jax.profiler) and
+device-synchronised stage timing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+class StopWatch:
+    """Wall-clock ms timer (core/stop_watch.h semantics: stop() returns the
+    elapsed ms and restarts)."""
+
+    def __init__(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        now = time.perf_counter()
+        ms = (now - self._t0) * 1000.0
+        self._t0 = now
+        return ms
+
+
+@contextlib.contextmanager
+def stage(name: str, results: dict | None = None, sync: bool = True,
+          verbose: bool = False):
+    """Time a pipeline stage; blocks on device completion when sync."""
+    t0 = time.perf_counter()
+    yield
+    if sync:
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
+    ms = (time.perf_counter() - t0) * 1000.0
+    if results is not None:
+        results[name] = results.get(name, 0.0) + ms
+    if verbose:
+        print(f"[{name}] {ms:.1f} ms")
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str):
+    """jax.profiler trace context (view with tensorboard/xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_jitted(fn, *args, iters: int = 20, warmup: int = 2) -> float:
+    """Best-of wall time (seconds) of a jitted callable, device-synced."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best

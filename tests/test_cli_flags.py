@@ -1,0 +1,142 @@
+"""Flags/config parsing, checkpointing, logging, and CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsac_tpu import flags
+from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.logging import TestLog, TrainingLog
+from dsac_tpu.utils.timing import StopWatch, time_jitted
+
+
+class TestFlags:
+    def test_reference_config_line_format(self, tmp_path):
+        # the exact 7-Scenes default.config contents (SURVEY.md §2.1)
+        cfgfile = tmp_path / "default.config"
+        cfgfile.write_text(
+            "rI 256\nrRI 8\nrB 100\nrSS 0.01\nrT2D 10\nrT3D 100\n"
+            "rdraw 1\nfl 525\nsfl 585\niw 640\nih 480\nrd 1\n")
+        values = flags.parse_config_file(cfgfile)
+        cfg, strings = flags.build_config(values)
+        assert cfg.pose.num_hypotheses == 256
+        assert cfg.pose.refinement_steps == 8
+        assert cfg.pose.inlier_threshold_2d == 10.0
+        assert cfg.pose.random_draw is True
+        assert cfg.data.focal_length == 525.0
+        assert cfg.data.secondary_focal_length == 585.0
+        assert cfg.data.raw_data is True
+
+    def test_cli_overrides_config(self, tmp_path, monkeypatch):
+        (tmp_path / "default.config").write_text("rI 256\nfl 525\n")
+        monkeypatch.chdir(tmp_path)
+        cfg, strings = flags.load(["-rI", "64", "-rdraw", "0"])
+        assert cfg.pose.num_hypotheses == 64
+        assert cfg.pose.random_draw is False
+        assert cfg.data.focal_length == 525.0
+
+    def test_string_flags_passthrough(self):
+        cfg, strings = flags.build_config({"omodel": "foo.net", "rI": "8"})
+        assert strings["omodel"] == "foo.net"
+        assert cfg.pose.num_hypotheses == 8
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                 "step": jnp.asarray(7)}
+        ckpt.save(tmp_path, ckpt.OBJ_INIT, state, step=7)
+        template = {"params": {"w": jnp.zeros((2, 3))},
+                    "step": jnp.asarray(0)}
+        out = ckpt.restore(tmp_path, ckpt.OBJ_INIT, template)
+        np.testing.assert_array_equal(np.array(out["params"]["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+        assert int(out["step"]) == 7
+        assert ckpt.latest_step(tmp_path, ckpt.OBJ_INIT) == 7
+
+    def test_multiple_steps_latest_wins(self, tmp_path):
+        for s in [1, 2, 3]:
+            ckpt.save(tmp_path, ckpt.SCORE_INIT,
+                      {"v": jnp.asarray(float(s))}, step=s)
+        out = ckpt.restore(tmp_path, ckpt.SCORE_INIT,
+                           {"v": jnp.asarray(0.0)})
+        assert float(out["v"]) == 3.0
+
+
+class TestLogging:
+    def test_training_log(self, tmp_path):
+        log = TrainingLog(tmp_path / "loss.txt")
+        log.append(0, 1.5)
+        log.append(1, 1.25, {"entropy": 3.0})
+        log.close()
+        lines = (tmp_path / "loss.txt").read_text().splitlines()
+        assert lines[0].split()[0] == "0"
+        assert len(lines[1].split()) == 3
+
+    def test_test_log(self, tmp_path):
+        log = TestLog(tmp_path, "demo")
+        log.frame(1.0, 20.0, 2.0, 0.5, 3.0)
+        log.summary({"accuracy_5cm5deg": 0.9, "median_rot_err_deg": 1.2,
+                     "median_trans_err_cm": 2.5})
+        log.close()
+        assert (tmp_path / "ransac_pose_errors_demo.txt").exists()
+        s = (tmp_path / "ransac_summary_demo.txt").read_text().split()
+        assert float(s[0]) == 0.9
+
+
+class TestTiming:
+    def test_stopwatch(self):
+        sw = StopWatch()
+        ms = sw.stop()
+        assert 0 <= ms < 1000
+
+    def test_time_jitted(self):
+        f = jax.jit(lambda x: x * 2)
+        t = time_jitted(f, jnp.ones(8), iters=3, warmup=1)
+        assert t > 0
+
+
+@pytest.mark.slow
+class TestCliSmoke:
+    """End-to-end CLI smoke runs on tiny synthetic workloads."""
+
+    ENV = None
+
+    @classmethod
+    def _env(cls):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["DSAC_TPU_FORCE_CPU"] = "1"
+        env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+        return env
+
+    def _run(self, module, extra, tmp_path):
+        cmd = [sys.executable, "-c",
+               "import jax; jax.config.update('jax_platforms','cpu');"
+               f"import runpy; import sys; sys.argv=['x'] + {extra!r};"
+               f"runpy.run_module('{module}', run_name='__main__')"]
+        res = subprocess.run(cmd, env=self._env(), capture_output=True,
+                             text=True, timeout=500, cwd=str(tmp_path))
+        assert res.returncode == 0, res.stderr[-3000:]
+        return res
+
+    def test_train_obj_dense_smoke(self, tmp_path):
+        self._run("dsac_tpu.cli.train_obj",
+                  ["--synthetic", "2", "--rounds", "3", "--width-mult",
+                   "0.125", "--out", str(tmp_path / "out")], tmp_path)
+        assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
+
+    def test_test_ransac_soft_inlier_smoke(self, tmp_path):
+        res = self._run("dsac_tpu.cli.test_ransac",
+                        ["--synthetic", "2", "--rounds", "2", "--model",
+                         "none", "--width-mult", "0.125", "--out",
+                         str(tmp_path / "out"), "-rI", "16"], tmp_path)
+        assert "accuracy@5cm5deg" in res.stdout
+        files = list((tmp_path / "out").glob("ransac_summary_*.txt"))
+        assert len(files) == 1

@@ -1,0 +1,160 @@
+"""Native IO + 7-Scenes-layout dataset tests.
+
+A miniature dataset is synthesised on disk (PIL writes the PNGs; the
+native C++ library decodes them back) from the procedural scene, so the
+whole disk path — PNG decode, threaded prefetch, pose parsing with
+translation offset and frame correction, depth->coords GT generation —
+is exercised hermetically.
+"""
+
+import struct
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from dsac_tpu.config import DataConfig
+from dsac_tpu.data.seven_scenes import (SevenScenesDataset, parse_pose_file,
+                                        read_sensor_trans, read_translation)
+from dsac_tpu.data.synthetic import SyntheticScene
+from dsac_tpu.utils import native_io
+
+SCENE = SyntheticScene()
+
+
+def write_pose_file(path, R, t_mm, translation_m):
+    """Inverse of parse_pose_file: internal scene->eye pose -> 7-Scenes
+    camera-to-world text file (+ scene-centering offset re-added)."""
+    trans = np.eye(4)
+    trans[:3, :3] = R
+    trans[:3, 3] = np.asarray(t_mm) / 1000.0
+    inv = np.linalg.inv(trans)  # this is trans_file @ correction
+    correction = np.diag([1.0, -1.0, -1.0, 1.0])
+    file_mat = inv @ np.linalg.inv(correction)
+    file_mat[:3, 3] += translation_m
+    lines = [" ".join(f"{v:.9f}" for v in row) for row in file_mat]
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene") / "training" / "mini"
+    (root / "rgb_noseg").mkdir(parents=True)
+    (root / "depth_noseg").mkdir()
+    (root / "poses").mkdir()
+
+    translation = np.asarray([1.5, 0.7, 2.1])
+    (root.parent.parent / "translation.txt").write_text(
+        " ".join(map(str, translation)) + "\n")
+
+    frames = []
+    for i in range(3):
+        pose, rgb, depth, coords = SCENE.frame(jax.random.PRNGKey(i))
+        rgb_u8 = np.asarray(rgb, np.float32).astype(np.uint8)
+        depth_u16 = np.asarray(depth).astype(np.uint16)
+        Image.fromarray(rgb_u8).save(root / "rgb_noseg" / f"frame-{i:06d}.png")
+        Image.fromarray(depth_u16.astype(np.int32), mode="I").convert(
+            "I;16").save(root / "depth_noseg" / f"frame-{i:06d}.png")
+        write_pose_file(root / "poses" / f"frame-{i:06d}.txt",
+                        np.asarray(pose.R), np.asarray(pose.t), translation)
+        frames.append((np.asarray(pose.R), np.asarray(pose.t), rgb_u8,
+                       depth_u16, np.asarray(coords)))
+    return root, frames
+
+
+class TestNativeDecode:
+    def test_rgb_roundtrip(self, mini_dataset):
+        root, frames = mini_dataset
+        path = str(root / "rgb_noseg" / "frame-000000.png")
+        w, h, c, b = native_io.png_size(path)
+        assert (w, h) == (640, 480)
+        img = native_io.read_rgb(path, 640, 480)
+        np.testing.assert_array_equal(img, frames[0][2])
+
+    def test_depth16_roundtrip(self, mini_dataset):
+        root, frames = mini_dataset
+        path = str(root / "depth_noseg" / "frame-000001.png")
+        depth = native_io.read_depth16(path, 640, 480)
+        np.testing.assert_array_equal(depth, frames[1][3])
+
+    def test_prefetch_loader_order_and_contents(self, mini_dataset):
+        root, frames = mini_dataset
+        rgbs = sorted(str(p) for p in (root / "rgb_noseg").glob("*.png"))
+        depths = sorted(str(p) for p in (root / "depth_noseg").glob("*.png"))
+        seq = [2, 0, 1, 2]
+        loader = native_io.PrefetchLoader(rgbs, depths, seq, 640, 480,
+                                          n_threads=2, capacity=2)
+        got = []
+        for idx, rgb, depth in loader:
+            got.append(idx)
+            np.testing.assert_array_equal(rgb, frames[idx][2])
+            np.testing.assert_array_equal(depth, frames[idx][3])
+        assert got == seq
+        loader.close()
+
+
+class TestPoseParsing:
+    def test_roundtrip(self, mini_dataset):
+        root, frames = mini_dataset
+        translation = read_translation(root.parent.parent / "translation.txt")
+        R, t_m = parse_pose_file(root / "poses" / "frame-000000.txt",
+                                 translation)
+        np.testing.assert_allclose(R, frames[0][0], atol=1e-5)
+        np.testing.assert_allclose(t_m * 1000.0, frames[0][1], atol=0.5)
+
+    def test_sensor_trans_reader(self, tmp_path):
+        m = np.arange(16, dtype=np.float64).reshape(4, 4)
+        raw = struct.pack("<ii", 4, 4) + m.tobytes()
+        p = tmp_path / "sensorTrans.dat"
+        p.write_bytes(raw)
+        out = read_sensor_trans(p)
+        np.testing.assert_array_equal(out, m)
+
+
+class TestDataset:
+    def test_basic_accessors(self, mini_dataset):
+        root, frames = mini_dataset
+        ds = SevenScenesDataset(root, register_depth=False)
+        assert len(ds) == 3
+        rgb, depth, (R, t) = ds[1]
+        np.testing.assert_array_equal(rgb, frames[1][2])
+        np.testing.assert_array_equal(depth, frames[1][3])
+        np.testing.assert_allclose(R, frames[1][0], atol=1e-5)
+        np.testing.assert_allclose(t, frames[1][1], atol=0.5)
+
+    def test_get_obj_matches_renderer(self, mini_dataset):
+        # GT scene coordinates generated from depth+pose must match the
+        # synthetic renderer's coordinates (the reference generates GT the
+        # same way, core/dataset.h:226-255).
+        root, frames = mini_dataset
+        ds = SevenScenesDataset(root, register_depth=False)
+        obj = ds.get_obj(0)
+        gt = frames[0][4]
+        valid = frames[0][3] > 0
+        err = np.linalg.norm(obj - gt, axis=-1)
+        # depth was quantised to integer mm -> small reconstruction error
+        assert np.median(err[valid]) < 10.0
+        assert (err[valid] < 40.0).mean() > 0.95
+
+    def test_get_eye_depth_consistency(self, mini_dataset):
+        root, frames = mini_dataset
+        ds = SevenScenesDataset(root, register_depth=False)
+        eye = ds.get_eye(2)
+        depth = frames[2][3]
+        np.testing.assert_allclose(-eye[..., 2][depth > 0],
+                                   depth[depth > 0].astype(np.float32),
+                                   atol=0.5)
+
+    def test_depth_registration_identity_sensor(self, mini_dataset):
+        # with sensorTrans = I and equal intrinsics the registration is a
+        # near-identity scatter
+        root, frames = mini_dataset
+        cfg = DataConfig(secondary_focal_length=525.0)
+        ds = SevenScenesDataset(root, config=cfg, register_depth=True)
+        depth = ds.get_depth(0)
+        raw = frames[0][3]
+        overlap = (depth > 0) & (raw > 0)
+        assert overlap.mean() > 0.9
+        np.testing.assert_allclose(depth[overlap], raw[overlap], atol=1.0)
