@@ -28,22 +28,31 @@ class Frame:
 
 
 class SyntheticSource:
-    """Procedural frames with exact GT (used when no dataset is given)."""
+    """Procedural frames with exact GT (used when no dataset is given).
+
+    Frames are rendered once (jitted) and cached host-side — the training
+    loops revisit frames thousands of times.
+    """
 
     def __init__(self, n_frames: int, seed: int = 0, scene=None):
         self.scene = scene or SyntheticScene()
         self.n = n_frames
         self.seed = seed
+        self._cache: dict[int, Frame] = {}
 
     def __len__(self):
         return self.n
 
     def get(self, i: int) -> Frame:
+        if i in self._cache:
+            return self._cache[i]
         key = jax.random.PRNGKey(self.seed * 100003 + i)
         pose, rgb, depth, coords = self.scene.frame(key)
-        return Frame(np.asarray(rgb, np.float32), pose,
-                     np.asarray(coords, np.float32),
-                     np.asarray(depth, np.float32))
+        f = Frame(np.asarray(rgb, np.float32), pose,
+                  np.asarray(coords, np.float32),
+                  np.asarray(depth, np.float32))
+        self._cache[i] = f
+        return f
 
     def __iter__(self) -> Iterator[Frame]:
         for i in range(self.n):

@@ -127,7 +127,23 @@ class SyntheticScene:
         return rgb, depth, points
 
     def frame(self, key: jax.Array):
-        """Convenience: (pose, rgb, depth, coords) for a random pose."""
-        pose = self.random_pose(key)
-        rgb, depth, coords = self.render(pose)
-        return pose, rgb, depth, coords
+        """Convenience: (pose, rgb, depth, coords) for a random pose.
+
+        Jitted per scene instance — eager rendering dispatches hundreds of
+        small ops, which is pathological over a remote-TPU tunnel.
+        """
+        fn = _jitted_frame_cache.get(self)
+        if fn is None:
+            def _frame(key):
+                pose = self.random_pose(key)
+                rgb, depth, coords = self.render(pose)
+                return pose, rgb, depth, coords
+
+            fn = jax.jit(_frame)
+            _jitted_frame_cache[self] = fn
+        return fn(key)
+
+
+# keyed by the frozen-dataclass scene (hashable); grows only with distinct
+# scene geometries
+_jitted_frame_cache: dict = {}
