@@ -35,4 +35,21 @@ import jax as _jax
 # on the hot path.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Remote-TPU compiles cost minutes for the larger pipeline graphs and are
+# not cached across processes by default.  A persistent compilation cache
+# helps a lot on stable backends — but experimental PJRT plugins (like
+# this machine's remote-TPU tunnel) can crash the worker when reloading
+# serialized executables, so it is strictly opt-in:
+#   export DSAC_TPU_COMPILE_CACHE=/path/to/cache
+import os as _os
+
+_cache_dir = _os.environ.get("DSAC_TPU_COMPILE_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 from dsac_tpu import config as config

@@ -69,15 +69,23 @@ def main(argv=None):
     print(blue(f"Pre-training coordinate CNN ({args.arch}) for "
                f"{args.updates} updates."))
 
+    # prestage dense-mode frames on device once — re-transferring images
+    # every update dominates step time on a remote-TPU tunnel
+    staged = []
+    if args.arch == "dense":
+        for i in range(len(source)):
+            f = source.get(i)
+            gt, mask = downsample_obj(f.obj)
+            staged.append((jax.device_put(f.rgb[None]),
+                           jax.device_put(gt[None]),
+                           jax.device_put(mask[None])))
+
     update = 0
     while update < args.updates:
         if args.arch == "dense":
-            idx = rng.integers(len(source))
-            f = source.get(int(idx))
-            gt, mask = downsample_obj(f.obj)
-            params, opt_state, loss = step_fn(
-                params, opt_state, jnp.asarray(f.rgb)[None],
-                jnp.asarray(gt)[None], jnp.asarray(mask)[None])
+            rgb_d, gt_d, mask_d = staged[int(rng.integers(len(staged)))]
+            params, opt_state, loss = step_fn(params, opt_state, rgb_d,
+                                              gt_d, mask_d)
             update += 1
         else:
             # assemble a round of patches (train_obj.cpp:47-102)

@@ -28,6 +28,11 @@ def main(argv=None, softam: bool = False):
                    help="reference: 5000 (train_ransac.cpp:50)")
     p.add_argument("--softam", action="store_true", default=softam)
     p.add_argument("--snapshot-every", type=int, default=250)
+    # the reference gates a held-out eval loop behind the DOVALIDATION
+    # compile flag (train_ransac.cpp:30, :136-233); here it's runtime
+    p.add_argument("--validate-every", type=int, default=0,
+                   help="run a held-out validation pass every N rounds")
+    p.add_argument("--validate-frames", type=int, default=8)
     args, cfg, strings = common.parse_with_flags(p, argv)
     if args.rounds is not None:
         args.training_rounds = args.rounds
@@ -68,6 +73,33 @@ def main(argv=None, softam: bool = False):
 
     tag = "softam" if args.softam else "e2e"
     log = TrainingLog(f"{args.out}/ransac_training_loss_{tag}.txt")
+    val_log = TrainingLog(f"{args.out}/ransac_validation_{tag}.txt")
+
+    val_fn = None
+    if args.validate_every > 0:
+        from dsac_tpu.pipeline import evaluate_frame, process_frame
+        val_source = (common.SyntheticSource(args.validate_frames, seed=777)
+                      if not args.data else source)
+
+        def validate(state):
+            from dsac_tpu.geometry import pose_errors
+            correct, exp_losses = [], []
+            run = jax.jit(functools.partial(
+                process_frame,
+                coord_fn=lambda img, pix: coord_apply(state.coord_params,
+                                                      img, pix),
+                score_fn=lambda dm: score_apply(state.score_params, dm),
+                cam=cam, cfg=cfg))
+            for i in range(args.validate_frames):
+                f = val_source.get(i)
+                res = run(jax.random.PRNGKey(7000 + i),
+                          image=jnp.asarray(f.rgb))
+                ev = evaluate_frame(res, f.pose)
+                correct.append(bool(ev.correct))
+                exp_losses.append(float(ev.expected_loss))
+            return float(np.mean(correct)), float(np.mean(exp_losses))
+
+        val_fn = validate
     obj_name = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
     score_name = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
 
@@ -85,6 +117,11 @@ def main(argv=None, softam: bool = False):
             print(f"round {rnd}: E[loss] {float(loss):.3f} "
                   f"entropy {float(aux['entropy']):.2f} "
                   f"valid {int(aux['valid_hyps'])}")
+        if val_fn is not None and (rnd + 1) % args.validate_every == 0:
+            acc, exp = val_fn(state)
+            val_log.append(rnd, exp, {"accuracy": acc})
+            print(blue(f"validation @ round {rnd}: accuracy "
+                       f"{acc * 100:.1f}%, E[loss] {exp:.2f}"))
         if (rnd + 1) % args.snapshot_every == 0 \
                 or rnd == args.training_rounds - 1:
             ckpt.save(args.out, obj_name,

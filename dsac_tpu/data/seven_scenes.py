@@ -48,6 +48,31 @@ def read_sensor_trans(path: str | Path) -> np.ndarray:
     return np.asarray(vals, np.float64).reshape(rows, cols)
 
 
+def write_sensor_trans(path: str | Path, mat: np.ndarray) -> None:
+    """generic_io cv::Mat_<double> writer (core/generic_io.h:150-163):
+    int rows, int cols, row-major doubles."""
+    m = np.asarray(mat, np.float64)
+    Path(path).write_bytes(struct.pack("<ii", *m.shape) + m.tobytes())
+
+
+def write_pose_file(path: str | Path, R: np.ndarray, t_mm: np.ndarray,
+                    translation_m: np.ndarray | None = None) -> None:
+    """Inverse of parse_pose_file: internal scene->eye pose back to the
+    7-Scenes camera-to-world text convention (re-adding the scene-centering
+    offset) — the conversion test_ransac performs before writing estimated
+    poses out (core/test_ransac.cpp:170-219)."""
+    trans = np.eye(4)
+    trans[:3, :3] = np.asarray(R, np.float64)
+    trans[:3, 3] = np.asarray(t_mm, np.float64) / 1000.0
+    inv = np.linalg.inv(trans)
+    correction = np.diag([1.0, -1.0, -1.0, 1.0])
+    file_mat = inv @ np.linalg.inv(correction)
+    if translation_m is not None:
+        file_mat[:3, 3] += translation_m
+    lines = [" ".join(f"{v:.9f}" for v in row) for row in file_mat]
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
 def read_translation(path: str | Path) -> np.ndarray:
     """translation.txt: one line of 3 floats (metres)."""
     toks = Path(path).read_text().split()

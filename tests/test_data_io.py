@@ -17,25 +17,12 @@ from PIL import Image
 
 from dsac_tpu.config import DataConfig
 from dsac_tpu.data.seven_scenes import (SevenScenesDataset, parse_pose_file,
-                                        read_sensor_trans, read_translation)
+                                        read_sensor_trans, read_translation,
+                                        write_pose_file, write_sensor_trans)
 from dsac_tpu.data.synthetic import SyntheticScene
 from dsac_tpu.utils import native_io
 
 SCENE = SyntheticScene()
-
-
-def write_pose_file(path, R, t_mm, translation_m):
-    """Inverse of parse_pose_file: internal scene->eye pose -> 7-Scenes
-    camera-to-world text file (+ scene-centering offset re-added)."""
-    trans = np.eye(4)
-    trans[:3, :3] = R
-    trans[:3, 3] = np.asarray(t_mm) / 1000.0
-    inv = np.linalg.inv(trans)  # this is trans_file @ correction
-    correction = np.diag([1.0, -1.0, -1.0, 1.0])
-    file_mat = inv @ np.linalg.inv(correction)
-    file_mat[:3, 3] += translation_m
-    lines = [" ".join(f"{v:.9f}" for v in row) for row in file_mat]
-    Path(path).write_text("\n".join(lines) + "\n")
 
 
 @pytest.fixture(scope="module")
@@ -111,6 +98,12 @@ class TestPoseParsing:
         p.write_bytes(raw)
         out = read_sensor_trans(p)
         np.testing.assert_array_equal(out, m)
+
+    def test_sensor_trans_writer_roundtrip(self, tmp_path):
+        m = np.linalg.inv(np.eye(4) + 0.01 * np.arange(16).reshape(4, 4))
+        p = tmp_path / "sensorTrans.dat"
+        write_sensor_trans(p, m)
+        np.testing.assert_array_equal(read_sensor_trans(p), m)
 
 
 class TestDataset:
