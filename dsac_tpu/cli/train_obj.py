@@ -18,6 +18,7 @@ import numpy as np
 from dsac_tpu.models.coord_net import extract_patches
 from dsac_tpu.pipeline.train import (coord_pretrain_optimizer,
                                      coord_pretrain_step,
+                                     dense_coord_pretrain_many,
                                      dense_coord_pretrain_step)
 from dsac_tpu.utils import checkpoint as ckpt
 from dsac_tpu.utils.logging import TrainingLog, blue, green
@@ -39,6 +40,10 @@ def main(argv=None):
     p.add_argument("--frames-per-round", type=int, default=100)
     p.add_argument("--patches-per-frame", type=int, default=512)
     p.add_argument("--snapshot-every", type=int, default=1000)
+    p.add_argument("--steps-per-call", type=int, default=50,
+                   help="dense mode: updates fused into one device "
+                        "dispatch (amortises remote-TPU latency)")
+    p.add_argument("--dense-batch", type=int, default=1)
     args, cfg, strings = common.parse_with_flags(p, argv)
     if args.rounds is not None:
         args.updates = args.rounds
@@ -53,9 +58,10 @@ def main(argv=None):
         params = coord_net.init(jax.random.PRNGKey(args.seed),
                                 jnp.asarray(sample.rgb)[None])
         opt_state = opt.init(params)
-        step_fn = jax.jit(functools.partial(
-            dense_coord_pretrain_step,
-            apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt))
+        many_fn = jax.jit(functools.partial(
+            dense_coord_pretrain_many,
+            apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
+            n_updates=args.steps_per_call, batch=args.dense_batch))
     else:
         params = coord_net.init(jax.random.PRNGKey(args.seed),
                                 jnp.zeros((1, cfg.net.rgb_patch_size,
@@ -69,24 +75,28 @@ def main(argv=None):
     print(blue(f"Pre-training coordinate CNN ({args.arch}) for "
                f"{args.updates} updates."))
 
-    # prestage dense-mode frames on device once — re-transferring images
-    # every update dominates step time on a remote-TPU tunnel
-    staged = []
+    # prestage the whole dense-mode frame pool on device once — per-update
+    # host involvement is then one dispatch per --steps-per-call updates
     if args.arch == "dense":
+        rgbs, gts, masks_ = [], [], []
         for i in range(len(source)):
             f = source.get(i)
             gt, mask = downsample_obj(f.obj)
-            staged.append((jax.device_put(f.rgb[None]),
-                           jax.device_put(gt[None]),
-                           jax.device_put(mask[None])))
+            rgbs.append(f.rgb)
+            gts.append(gt)
+            masks_.append(mask)
+        images_d = jax.device_put(np.stack(rgbs))
+        gts_d = jax.device_put(np.stack(gts))
+        masks_d = jax.device_put(np.stack(masks_))
 
     update = 0
     while update < args.updates:
         if args.arch == "dense":
-            rgb_d, gt_d, mask_d = staged[int(rng.integers(len(staged)))]
-            params, opt_state, loss = step_fn(params, opt_state, rgb_d,
-                                              gt_d, mask_d)
-            update += 1
+            key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+            params, opt_state, losses = many_fn(params, opt_state, key,
+                                                images_d, gts_d, masks_d)
+            loss = losses[-1]
+            update += args.steps_per_call
         else:
             # assemble a round of patches (train_obj.cpp:47-102)
             patches, labels = [], []
@@ -115,10 +125,10 @@ def main(argv=None):
                 if update >= args.updates:
                     break
 
-        if update % 50 == 0 or update == args.updates:
+        if update % 50 == 0 or update >= args.updates:
             log.append(update, float(loss))
             print(f"update {update}: L1 {float(loss):.4f} m")
-        if update % args.snapshot_every == 0 or update == args.updates:
+        if update % args.snapshot_every == 0 or update >= args.updates:
             ckpt.save(args.out, ckpt.OBJ_INIT,
                       {"params": params, "opt_state": opt_state,
                        "step": update}, step=update)

@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--frames-per-round", type=int, default=100)
     p.add_argument("--hyps-per-frame", type=int, default=16)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="Adam lr (reference 1e-4, train_score.lua:13); the "
+                        "labels are O(-100), so short demo runs benefit "
+                        "from a hotter rate")
     args, cfg, strings = common.parse_with_flags(p, argv)
     if args.rounds is not None:
         args.training_rounds = args.rounds
@@ -60,7 +64,7 @@ def main(argv=None):
     grid = cfg.net.subsample_size
     score_params = score_net.init(jax.random.PRNGKey(2),
                                   jnp.zeros((1, grid, grid)))
-    opt = score_pretrain_optimizer()
+    opt = score_pretrain_optimizer(args.lr)
     opt_state = opt.init(score_params)
     step_fn = jax.jit(functools.partial(
         score_pretrain_step, apply_fn=lambda p_, d: score_net.apply(p_, d),

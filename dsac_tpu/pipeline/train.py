@@ -145,6 +145,38 @@ def dense_coord_pretrain_step(params, opt_state, images, coord_maps_m, masks,
     return params, opt_state, loss
 
 
+def dense_coord_pretrain_many(params, opt_state, key, images, coord_maps_m,
+                              masks, apply_fn: Callable,
+                              optimizer: optax.GradientTransformation,
+                              n_updates: int, batch: int = 1):
+    """Run n_updates SGD/Adam updates fully on-device via lax.scan.
+
+    images/coord_maps_m/masks hold the ENTIRE staged frame pool
+    (F, ...); each update draws `batch` random frames.  One host dispatch
+    per call — essential when per-dispatch latency (remote-TPU tunnels)
+    would otherwise dominate step time.
+    """
+    F = images.shape[0]
+
+    def body(carry, k):
+        params, opt_state = carry
+        idx = jax.random.randint(k, (batch,), 0, F)
+
+        def loss_fn(p):
+            pred = apply_fn(p, images[idx])
+            return coord_l1_loss(pred, coord_maps_m[idx], masks[idx])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    keys = jax.random.split(key, n_updates)
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
+                                               keys)
+    return params, opt_state, losses
+
+
 def random_pose_perturbation(key: jax.Array, sigma_rot_deg: float,
                              sigma_trans_mm: float) -> Pose:
     """getRandHyp (train_score.cpp:48-72): uniform random axis, gaussian
