@@ -39,7 +39,10 @@ def _residuals_and_jac(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
     rx = jnp.einsum("...ij,...nj->...ni", pose.R, obj)  # R @ x
     eye = rx + pose.t[..., None, :]
     z = eye[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < _EPS, -_EPS, z)
+    # 1 mm physical z floor: points this close to the camera plane are
+    # garbage, and tighter floors let Jacobian entries grow towards f32
+    # overflow, whose NaNs poison gradients even on masked lanes.
+    z_safe = jnp.where(jnp.abs(z) < 1.0, jnp.where(z > 0, 1.0, -1.0), z)
     inv_z = 1.0 / z_safe
     f = cam.focal
 
@@ -81,10 +84,19 @@ def gn_pnp(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
         wJ = weights[..., None, None] * J  # (..., N, 2, 6)
         JtJ = jnp.einsum("...nki,...nkj->...ij", wJ, J)  # (..., 6, 6)
         Jtr = jnp.einsum("...nki,...nk->...i", wJ, r)  # (..., 6)
-        # LM damping scaled to the diagonal for unit invariance.
+        # Jacobi-normalised, floor-regularised solve.  This must be
+        # NaN-FREE even for singular systems (degenerate minimal sets on
+        # masked hypothesis lanes): jnp.linalg.solve's VJP multiplies by
+        # its primal solution, so a NaN forward here poisons the shared
+        # coordinate gradient regardless of downstream masking.  With a
+        # unit diagonal + absolute damping the system is always
+        # invertible in f32.
         diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)
-        A = JtJ + (damping * diag + 1e-9)[..., None] * jnp.eye(6, dtype=r.dtype)
-        delta = jnp.linalg.solve(A, Jtr[..., None])[..., 0]  # (..., 6)
+        dn = jax.lax.rsqrt(diag + 1e-12)  # (..., 6)
+        A = dn[..., :, None] * JtJ * dn[..., None, :]
+        A = A + (damping + 1e-6) * jnp.eye(6, dtype=r.dtype)
+        y = jnp.linalg.solve(A, (dn * Jtr)[..., None])[..., 0]
+        delta = jnp.clip(dn * y, -1e4, 1e4)  # (..., 6); mm / rad bounds
         ok = jnp.all(jnp.isfinite(delta), axis=-1, keepdims=True)
         delta = jnp.where(ok, delta, 0.0)
         new_R = so3_exp(delta[..., :3]) @ p.R

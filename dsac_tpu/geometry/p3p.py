@@ -89,10 +89,17 @@ def _solve_quartic_real(coeffs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     a4 = coeffs[..., 0]
     scale = jnp.where(jnp.abs(a4) < 1e-12,
                       jnp.where(a4 < 0, -1e-12, 1e-12), a4)
-    b = coeffs[..., 1] / scale
-    c = coeffs[..., 2] / scale
-    d = coeffs[..., 3] / scale
-    e = coeffs[..., 4] / scale
+    # When a4 ~ 0 (quartic degenerating to a cubic: borderline geometries)
+    # the monic coefficients blow up and their 4th powers reach Inf,
+    # producing NaN roots in the FORWARD pass.  Clamp: affected lanes are
+    # geometrically degenerate and masked by callers; genuinely valid
+    # lanes stay below the clamp, and the caller's Newton polish against
+    # the true coefficients restores full accuracy regardless.
+    clamp = lambda x: jnp.clip(x, -1e4, 1e4)
+    b = clamp(coeffs[..., 1] / scale)
+    c = clamp(coeffs[..., 2] / scale)
+    d = clamp(coeffs[..., 3] / scale)
+    e = clamp(coeffs[..., 4] / scale)
 
     # depressed quartic y^4 + p y^2 + q y + r, x = y - b/4
     b2 = b * b
@@ -144,27 +151,42 @@ def _solve_quartic_real(coeffs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _newton_polish_real(coeffs: jnp.ndarray, v0: jnp.ndarray,
-                        steps: int = 3) -> jnp.ndarray:
-    """Differentiable Newton refinement of a real quartic root.
+                        steps: int = 3, grad_floor: float = 1e-2
+                        ) -> jnp.ndarray:
+    """Newton refinement of a real quartic root with BOUNDED gradients.
 
-    v0 is treated as a constant (already stop_gradient'ed); the Newton
-    update is a smooth function of `coeffs`, so at convergence its autodiff
-    derivative equals the implicit-function derivative of the root.
+    Value: `steps` Newton iterations (gradient-free).  Gradient: one final
+    implicit-function-theorem step — v_out = v - p(v)/p'(v) with v and
+    p'(v) held constant — whose derivative d v*/d coeffs = -(dp/dc)/p'(v)
+    is the exact implicit derivative away from double roots and is capped
+    by `grad_floor` at them.  Differentiating the iteration chain instead
+    amplifies the near-singular 1/p' factor three-fold, which overflows
+    f32 for degenerate (duplicate-point) sets and poisons shared upstream
+    gradients — degenerate sets are masked, but their NaNs would not be.
     """
-    a, b, c, d, e = (coeffs[..., i] for i in range(5))
+    cs = jax.lax.stop_gradient(coeffs)
+
+    def poly(cf, v):
+        return ((((cf[..., 0] * v + cf[..., 1]) * v + cf[..., 2]) * v
+                 + cf[..., 3]) * v + cf[..., 4])
+
+    def dpoly(cf, v):
+        return (((4.0 * cf[..., 0] * v + 3.0 * cf[..., 1]) * v
+                 + 2.0 * cf[..., 2]) * v + cf[..., 3])
+
     v = v0
     for _ in range(steps):
-        pv = (((a * v + b) * v + c) * v + d) * v + e
-        dpv = ((4 * a * v + 3 * b) * v + 2 * c) * v + d
-        dpv = jnp.where(jnp.abs(dpv) < 1e-10, jnp.sign(dpv) * 1e-10 + 1e-12,
-                        dpv)
-        # Grunert roots are range ratios, O(0.1..10); clipping both the step
-        # and the iterate keeps every intermediate finite.  Any NaN/Inf
-        # anywhere in the graph — even on a masked-out candidate — would
-        # poison shared upstream gradients (0 cotangent x NaN Jacobian).
-        v = v - jnp.clip(pv / dpv, -100.0, 100.0)
-        v = jnp.clip(v, -1e3, 1e3)
-    return v
+        dpv = dpoly(cs, v)
+        dpv = jnp.where(jnp.abs(dpv) < 1e-10,
+                        jnp.sign(dpv) * 1e-10 + 1e-12, dpv)
+        v = v - jnp.clip(poly(cs, v) / dpv, -10.0, 10.0)
+        v = jnp.clip(v, -100.0, 100.0)
+
+    v = jax.lax.stop_gradient(v)
+    dpv = jax.lax.stop_gradient(dpoly(cs, v))
+    dpv = jnp.where(dpv >= 0, jnp.maximum(dpv, grad_floor),
+                    jnp.minimum(dpv, -grad_floor))
+    return v - jnp.clip(poly(coeffs, v) / dpv, -10.0, 10.0)
 
 
 def p3p_grunert(obj: jnp.ndarray, bear: jnp.ndarray) -> tuple[jnp.ndarray,
@@ -187,29 +209,47 @@ def p3p_grunert(obj: jnp.ndarray, bear: jnp.ndarray) -> tuple[jnp.ndarray,
     cb = jnp.sum(f1 * f3, axis=-1)  # cos(beta)
     cg = jnp.sum(f1 * f2, axis=-1)  # cos(gamma)
 
-    q = (a2 - c2) / b2_safe
-    s = (a2 + c2) / b2_safe
+    # Side-length ratios are O(1) for genuine triangles; near-coincident
+    # points (degenerate sets on masked lanes) drive them towards 1e18,
+    # whose squares overflow f32 into Inf/NaN — which then leaks into
+    # shared gradients through primal-multiplying VJPs.  Clamp hard; the
+    # affected sets are flagged invalid below anyway.
+    ratio = lambda x: jnp.clip(x / b2_safe, -1e4, 1e4)
+    q = ratio(a2 - c2)
+    s = ratio(a2 + c2)
 
-    A4 = (q - 1.0) ** 2 - 4.0 * (c2 / b2_safe) * ca ** 2
+    A4 = (q - 1.0) ** 2 - 4.0 * ratio(c2) * ca ** 2
     A3 = 4.0 * (q * (1.0 - q) * cb - (1.0 - s) * ca * cg
-                + 2.0 * (c2 / b2_safe) * ca ** 2 * cb)
+                + 2.0 * ratio(c2) * ca ** 2 * cb)
     A2 = 2.0 * (q ** 2 - 1.0 + 2.0 * q ** 2 * cb ** 2
-                + 2.0 * ((b2 - c2) / b2_safe) * ca ** 2
+                + 2.0 * ratio(b2 - c2) * ca ** 2
                 - 4.0 * s * ca * cb * cg
-                + 2.0 * ((b2 - a2) / b2_safe) * cg ** 2)
-    A1 = 4.0 * (-q * (1.0 + q) * cb + 2.0 * (a2 / b2_safe) * cg ** 2 * cb
+                + 2.0 * ratio(b2 - a2) * cg ** 2)
+    A1 = 4.0 * (-q * (1.0 + q) * cb + 2.0 * ratio(a2) * cg ** 2 * cb
                 - (1.0 - s) * ca * cg)
-    A0 = (1.0 + q) ** 2 - 4.0 * (a2 / b2_safe) * cg ** 2
+    A0 = (1.0 + q) ** 2 - 4.0 * ratio(a2) * cg ** 2
 
     coeffs = jnp.stack([A4, A3, A2, A1, A0], axis=-1)
+    # Normalise to unit max-coefficient: roots are invariant under scaling,
+    # and with O(1) coefficients the Newton-polish BACKWARD stays far from
+    # f32 overflow (raw coefficients reach ~1e8 for near-degenerate sets;
+    # their backward products overflow on TPU where CPU still squeaks by).
+    # stop_gradient on the norm is exact: the root is scale-invariant, so
+    # holding the scale constant does not change its derivative.
+    norm = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)) + 1e-12
+    coeffs = coeffs / norm
     roots, is_real = _solve_quartic_real(coeffs)  # (..., 4), no grad
 
     v = _newton_polish_real(coeffs[..., None, :], roots)  # (..., 4) with grads
 
     # u from the linear relation (Haralick eq. for Grunert's method).
+    # Denominator floor is 1e-3, not epsilon: near-zero denominators only
+    # occur for degenerate (masked) sets, and a tiny floor makes the
+    # division's BACKWARD (-num/denom^2) overflow f32.
     denom_u = 2.0 * (cg[..., None] - v * ca[..., None])
-    denom_u = jnp.where(jnp.abs(denom_u) < 1e-8,
-                        jnp.where(denom_u < 0, -1e-8, 1e-8), denom_u)
+    denom_u = jnp.where(jnp.abs(denom_u) < 1e-3,
+                        jnp.where(denom_u < 0, -1e-3, 1e-3), denom_u)
     u = ((-1.0 + q[..., None]) * v ** 2
          - 2.0 * q[..., None] * cb[..., None] * v
          + 1.0 + q[..., None]) / denom_u

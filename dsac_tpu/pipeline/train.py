@@ -88,10 +88,22 @@ def score_pretrain_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
-def e2e_optimizers() -> tuple[optax.GradientTransformation,
+def e2e_optimizers(coord_lr: float = 1e-5, score_lr: float = 1e-7,
+                   clip_norm: float = 10.0
+                   ) -> tuple[optax.GradientTransformation,
                               optax.GradientTransformation]:
-    """(coord, score) SGD+momentum (train_obj.lua:18-19, train_score.lua:18-19)."""
-    return (optax.sgd(1e-5, momentum=0.9), optax.sgd(1e-7, momentum=0.9))
+    """(coord, score) SGD+momentum (train_obj.lua:18-19, train_score.lua:18-19).
+
+    On top of the reference's per-element clamp at the CNN boundary we add
+    global-norm clipping: the REINFORCE-style score-path gradient has
+    occasional large spikes that, with momentum, can walk the coordinate
+    net out of the (narrow) regime where minimal sets stay self-consistent.
+    """
+    def chain(lr):
+        return optax.chain(optax.clip_by_global_norm(clip_norm),
+                           optax.sgd(lr, momentum=0.9))
+
+    return chain(coord_lr), chain(score_lr)
 
 
 class TrainState(NamedTuple):
@@ -296,4 +308,13 @@ def e2e_step(state: TrainState, key: jax.Array, image: jnp.ndarray,
         optax.apply_updates(state.coord_params, cu),
         optax.apply_updates(state.score_params, su),
         c_state, s_state, state.step + 1)
+
+    # gradient statistics, the reference logs these every round
+    # (train_ransac.cpp:384-395): max / norm / finite flag
+    leaves = jax.tree_util.tree_leaves(g_coord)
+    flat = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    aux = dict(aux)
+    aux["grad_max"] = jnp.max(jnp.abs(flat))
+    aux["grad_norm"] = jnp.linalg.norm(flat)
+    aux["grad_finite"] = jnp.all(jnp.isfinite(flat))
     return new_state, loss, aux

@@ -107,6 +107,27 @@ class TestP3P:
         assert np.all(np.isfinite(np.array(est.R)))
         assert np.all(np.isfinite(np.array(est.t)))
 
+    def test_duplicate_point_set_gradient_finite(self):
+        # Regression: this exact configuration (points 1 and 2 identical —
+        # a duplicate minimal-set draw) produced a near-double quartic root
+        # whose Newton-chain gradient overflowed f32 on TPU and poisoned
+        # the shared coordinate gradient during e2e training.
+        obj = jnp.asarray([[3030.5723, 1564.1547, 4060.9712],
+                           [3347.4216, 2073.6963, 3925.5176],
+                           [3347.4216, 2073.6963, 3925.5176],
+                           [2829.0405, 1739.2445, 3840.0574]])
+        pix = jnp.asarray([[68.0, 308.0], [64.0, 101.0], [64.0, 101.0],
+                           [241.0, 263.0]])
+
+        def f(o):
+            est, valid = solve_pnp_minimal(o, pix, CAM)
+            return jnp.sum(est.t) * 1e-3 + jnp.sum(est.R)
+
+        g = jax.grad(f)(obj)
+        assert np.all(np.isfinite(np.array(g))), g
+        # and the magnitude must be sane (bounded implicit gradient)
+        assert float(jnp.max(jnp.abs(g))) < 1e6
+
     def test_gradient_flows_through_solver(self, rng):
         pose, scene, pix = make_scene(rng)
 
