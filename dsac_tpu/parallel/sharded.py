@@ -46,10 +46,36 @@ def _local_slice(x: jnp.ndarray, axis_name: str, n_shards: int,
     return jax.lax.dynamic_slice_in_dim(x, idx * size, size, axis=axis)
 
 
+def banded_dense_coords(apply_full: Callable, image: jnp.ndarray,
+                        n_shards: int, margin: int = 32, stride: int = 8,
+                        axis_name: str = HYP_AXIS) -> jnp.ndarray:
+    """Spatially-sharded dense-FCN coordinate map over the 'hyp' axis.
+
+    Each shard runs the FCN on its horizontal band (+/- a receptive-field
+    margin so the convolutions see full context), crops its stride-aligned
+    rows, and the full map is all_gathered.  Per-shard compute is
+    ~(1/n + 2*margin/H) of the full frame instead of a full replicated
+    pass.  `apply_full` maps (H', W, 3) -> (H'/stride, W/stride, 3).
+    """
+    Himg = image.shape[0]
+    band = Himg // n_shards
+    assert band % stride == 0 and margin % stride == 0
+    ext = band + 2 * margin
+    i = jax.lax.axis_index(axis_name)
+    y0 = i * band
+    start = jnp.clip(y0 - margin, 0, Himg - ext)
+    sl = jax.lax.dynamic_slice_in_dim(image, start, ext, axis=0)
+    cmap_ext = apply_full(sl)  # (ext/stride, W/stride, 3)
+    off = (y0 - start) // stride
+    cmap_band = jax.lax.dynamic_slice_in_dim(cmap_ext, off, band // stride,
+                                             axis=0)
+    return jax.lax.all_gather(cmap_band, axis_name, tiled=True)
+
+
 def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
                           coord_fn: Callable, score_fn: Callable,
                           cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
-                          gt_pose: Pose):
+                          gt_pose: Pose, coord_collective: bool = False):
     """Per-device body (inside shard_map) for ONE frame.
 
     Returns (expected_loss, aux) where expected_loss is the full-pool
@@ -57,6 +83,12 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     `key` must be identical across the 'hyp' axis for the frame-level
     randomness (sampling grid) and is folded with the axis index for the
     per-shard hypothesis draws.
+
+    coord_collective=False: coord_fn(image, pix_local) is evaluated on a
+    1/n slice of the sample pixels and all_gathered (patch-CNN sharding).
+    coord_collective=True: coord_fn(image, pix) performs its own
+    collectives (e.g. banded_dense_coords) and returns ALL N coordinates
+    replicated — the right mode for the dense FCN.
     """
     pcfg = cfg.pose
     H_local = pcfg.num_hypotheses // n_hyp_shards
@@ -65,14 +97,18 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
 
     k_samp, k_hyp = jax.random.split(key)
 
-    # --- coordinate CNN: patch axis sharded over 'hyp', then all_gather ---
+    # --- coordinate CNN, sharded over 'hyp' ---
     sampling = stratified_sample(k_samp, cfg.data.image_width,
                                  cfg.data.image_height, grid,
                                  cfg.net.rgb_patch_size)
     pix = sampling.reshape(-1, 2)
-    pix_local = _local_slice(pix, HYP_AXIS, n_hyp_shards)
-    coords_local = coord_fn(image, pix_local) * 1000.0  # mm
-    coords = jax.lax.all_gather(coords_local, HYP_AXIS, tiled=True)  # (N, 3)
+    if coord_collective:
+        coords = coord_fn(image, pix) * 1000.0  # (N, 3) mm, replicated
+    else:
+        pix_local = _local_slice(pix, HYP_AXIS, n_hyp_shards)
+        coords_local = coord_fn(image, pix_local) * 1000.0  # mm
+        coords = jax.lax.all_gather(coords_local, HYP_AXIS,
+                                    tiled=True)  # (N, 3)
     pixf = pix.astype(jnp.float32)
 
     # --- per-shard hypothesis pool ---
@@ -125,7 +161,8 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
 def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
                           images: jnp.ndarray, gt_poses: Pose,
                           coord_apply: Callable, score_apply: Callable,
-                          cam: Camera, cfg: DSACConfig, n_hyp_shards: int):
+                          cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
+                          coord_collective: bool = False):
     """Mean expected loss over this device's local frame batch.
 
     Per-device body: vmaps sharded_process_frame over the local frames and
@@ -139,7 +176,8 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
         return sharded_process_frame(
             key, image, coord_fn_factory(image),
             lambda dm: score_apply(score_params, dm), cam, cfg,
-            n_hyp_shards, Pose(gt_R, gt_t))
+            n_hyp_shards, Pose(gt_R, gt_t),
+            coord_collective=coord_collective)
 
     losses, aux = jax.vmap(one_frame)(keys, images, gt_poses.R, gt_poses.t)
     local_mean = jnp.mean(losses)
@@ -151,7 +189,7 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
 
 def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
                      score_apply: Callable, cam: Camera, cfg: DSACConfig,
-                     coord_opt, score_opt):
+                     coord_opt, score_opt, coord_collective: bool = False):
     """Build the jitted multi-device end-to-end training step.
 
     Returns step(state_tuple, keys, images, gt_R, gt_t) where
@@ -168,7 +206,8 @@ def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
         def loss_fn(cp, sp):
             return sharded_expected_loss(cp, sp, keys, images,
                                          Pose(gt_R, gt_t), coord_apply,
-                                         score_apply, cam, cfg, n_hyp)
+                                         score_apply, cam, cfg, n_hyp,
+                                         coord_collective=coord_collective)
 
         (loss, aux), (g_c, g_s) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(coord_params,

@@ -1,0 +1,122 @@
+"""Scaling-efficiency benchmark: sharded e2e step throughput vs mesh size.
+
+Measures frames/s of the sharded training step on (data x hyp) meshes of
+increasing size and reports efficiency vs linear scaling from the
+1-device run.  On this dev box only a virtual CPU farm is available
+(one real TPU chip), so CPU-farm numbers validate the SPMD structure and
+collective overheads qualitatively; run on a real slice for BASELINE
+numbers (the program is identical).
+
+Known sharding caveats measured here:
+  * the DENSE coordinate FCN is replicated (not sharded) across the 'hyp'
+    axis — only the patch architecture's CNN FLOPs split over 'hyp';
+    spatial (row-block + halo) sharding of the FCN is future work, so for
+    the dense arch prefer data-parallel meshes (hyp=1) unless running the
+    4k-16k hypothesis regime where scoring/refinement dominate;
+  * a virtual farm of N devices on fewer physical cores caps efficiency
+    at cores/N regardless of program quality.
+
+Usage:  python scripts/bench_scaling.py [--cpu-farm 8]
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-farm", type=int, default=0,
+                    help="force a virtual CPU device farm of this size")
+    ap.add_argument("--frames-per-device", type=int, default=2)
+    ap.add_argument("--hyps", type=int, default=64)
+    args = ap.parse_args()
+
+    import os
+    if args.cpu_farm:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_farm}")
+    import jax
+    if args.cpu_farm:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dsac_tpu.config import DSACConfig, PoseConfig
+    from dsac_tpu.data.synthetic import SyntheticScene
+    from dsac_tpu.geometry.pose import Pose
+    from dsac_tpu.models import DenseCoordNet, ScoreNet
+    from dsac_tpu.models.coord_net import gather_dense_coords
+    from dsac_tpu.parallel import make_mesh, sharded_e2e_step
+
+    n_dev = len(jax.devices())
+    scene = SyntheticScene()
+    cam = scene.camera
+    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=args.hyps,
+                                     sample_attempts=8))
+    coord_net = DenseCoordNet(width=32)
+    score_net = ScoreNet(width_mult=0.5)
+
+    def coord_apply(params, image, pix):
+        cmap = coord_net.apply(params, image[None])[0]
+        return gather_dense_coords(cmap, pix, stride=8)
+
+    def score_apply(params, dm):
+        return score_net.apply(params, dm)
+
+    # pre-render a frame pool
+    frames, Rs, ts = [], [], []
+    for i in range(8):
+        pose, rgb, depth, coords = scene.frame(jax.random.PRNGKey(i))
+        frames.append(np.asarray(rgb))
+        Rs.append(np.asarray(pose.R))
+        ts.append(np.asarray(pose.t))
+
+    cp = coord_net.init(jax.random.PRNGKey(1), jnp.asarray(frames[0])[None])
+    sp = score_net.init(jax.random.PRNGKey(2), jnp.zeros((1, 40, 40)))
+    c_opt = optax.sgd(1e-5, momentum=0.9)
+    s_opt = optax.sgd(1e-7, momentum=0.9)
+
+    results = {}
+    meshes = []
+    d = 1
+    while d <= n_dev:
+        hyp_shards = [h for h in (1, 2, 4) if h <= d and args.hyps % h == 0
+                      and d % h == 0]
+        meshes.append((d // hyp_shards[-1], hyp_shards[-1]))
+        d *= 2
+    for (nd, nh) in meshes:
+        n = nd * nh
+        mesh = make_mesh(nd, nh)
+        B = args.frames_per_device * nd
+        images = jnp.asarray(np.stack([frames[i % 8] for i in range(B)]))
+        gt = Pose(jnp.asarray(np.stack([Rs[i % 8] for i in range(B)])),
+                  jnp.asarray(np.stack([ts[i % 8] for i in range(B)])))
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        step = sharded_e2e_step(mesh, coord_apply, score_apply, cam, cfg,
+                                c_opt, s_opt)
+        state = (cp, sp, c_opt.init(cp), s_opt.init(sp))
+        out = step(*state, keys, images, gt.R, gt.t)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            out = step(*state, keys, images, gt.R, gt.t)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        fps = B / dt
+        results[f"{nd}x{nh}"] = {"devices": n, "frames_per_s": round(fps, 3)}
+        print(f"mesh {nd}x{nh} ({n} dev): {fps:.2f} frames/s")
+
+    base = next(iter(results.values()))
+    for k, v in results.items():
+        lin = base["frames_per_s"] * v["devices"] / base["devices"]
+        v["efficiency_vs_linear"] = round(v["frames_per_s"] / lin, 3)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,31 @@ class TestShardedPipeline:
         loss, aux = loss_fn(cp, sp, keys, maps, gt)
         assert np.isfinite(float(loss))
 
+    def test_banded_dense_coords_match_full(self):
+        # spatial FCN sharding must reproduce the unsharded coordinate map
+        import functools
+        from jax.sharding import PartitionSpec as P
+        from dsac_tpu.models import DenseCoordNet
+        from dsac_tpu.parallel.sharded import banded_dense_coords
+
+        net = DenseCoordNet(width=16)
+        pose, rgb, depth, coords_gt = SCENE.frame(jax.random.PRNGKey(0))
+        params = net.init(jax.random.PRNGKey(1), jnp.asarray(rgb)[None])
+        full = net.apply(params, jnp.asarray(rgb)[None])[0]  # (60, 80, 3)
+
+        mesh = make_mesh(1, 4)
+        apply_full = lambda img: net.apply(params, img[None])[0]
+        fn = jax.jit(jax.shard_map(
+            functools.partial(banded_dense_coords, apply_full,
+                              n_shards=4, margin=32),
+            mesh=mesh, in_specs=(P(),), out_specs=P(),
+            check_vma=False,
+        ))
+        banded = fn(jnp.asarray(rgb))
+        assert banded.shape == full.shape
+        np.testing.assert_allclose(np.array(banded), np.array(full),
+                                   atol=2e-2, rtol=1e-3)
+
     def test_sharded_training_step_improves(self):
         mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
             self._build(2, 4, 2, H=32)
