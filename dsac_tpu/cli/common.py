@@ -115,7 +115,9 @@ def frame_source(args, cfg: DSACConfig, split_hint: str = "training"):
     if args.data:
         return SevenScenesSource(args.data, cfg.data)
     n = args.synthetic or 16
-    return SyntheticSource(n)
+    # seed keys the camera-pose set: different --seed values give DISJOINT
+    # viewpoint sets of the same scene (training vs test splits)
+    return SyntheticSource(n, seed=args.seed)
 
 
 def build_models(args, cfg: DSACConfig):
