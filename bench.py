@@ -49,24 +49,30 @@ def main():
     def score_apply(dm):
         return score_net.apply(score_params, dm)
 
+    from dsac_tpu.pipeline.forward import process_frames_batched
+
+    B = 8  # serve batch: keeps CNN matmuls large on the MXU
+
     @jax.jit
-    def serve(key, image):
-        res = process_frame(key, image, coord_apply, score_apply, cam, cfg,
-                            refine_all=False)
+    def serve(keys, images):
+        res = process_frames_batched(keys, images, coord_apply, score_apply,
+                                     cam, cfg, refine_all=False)
         return res.final.R, res.final.t
 
-    # compile + warmup
-    out = serve(jax.random.PRNGKey(3), rgb)
+    images = jnp.broadcast_to(rgb, (B, *rgb.shape))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+
+    out = serve(keys, images)  # compile + warmup
     jax.block_until_ready(out)
 
-    n = 50
+    n = 16
     t0 = time.perf_counter()
     for i in range(n):
-        out = serve(jax.random.PRNGKey(i), rgb)
+        out = serve(jax.random.split(jax.random.PRNGKey(i), B), images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    value = n / dt
+    value = n * B / dt
     print(json.dumps({
         "metric": "relocalizations_per_s_per_chip",
         "value": round(value, 2),

@@ -53,11 +53,23 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
 
     opt = coord_pretrain_optimizer()
+    start_update = 0
     if args.arch == "dense":
         sample = source.get(0)
         params = coord_net.init(jax.random.PRNGKey(args.seed),
                                 jnp.asarray(sample.rgb)[None])
         opt_state = opt.init(params)
+        # resume from the latest snapshot if one exists (full train state,
+        # unlike the reference's weights-only torch.save)
+        try:
+            snap = ckpt.restore(args.out, ckpt.OBJ_INIT,
+                                {"params": params, "opt_state": opt_state,
+                                 "step": 0})
+            params, opt_state = snap["params"], snap["opt_state"]
+            start_update = int(snap["step"])
+            print(blue(f"Resumed obj_model_init at update {start_update}."))
+        except FileNotFoundError:
+            pass
         many_fn = jax.jit(functools.partial(
             dense_coord_pretrain_many,
             apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
@@ -89,7 +101,7 @@ def main(argv=None):
         gts_d = jax.device_put(np.stack(gts))
         masks_d = jax.device_put(np.stack(masks_))
 
-    update = 0
+    update = start_update
     while update < args.updates:
         if args.arch == "dense":
             key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))

@@ -119,6 +119,22 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                        refined, n_in, final)
 
 
+def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
+                           coord_fn: CoordFn, score_fn: ScoreFn,
+                           cam: Camera, cfg: DSACConfig,
+                           refine_all: bool = False) -> FrameResult:
+    """Batched serve path: vmap of process_frame over a frame batch.
+
+    The production serving shape — batching frames keeps the coordinate
+    CNN's matmuls large on the MXU and amortises dispatch latency.
+    keys: (B,) key array; images: (B, H, W, 3).
+    """
+    return jax.vmap(
+        lambda k, img: process_frame(k, img, coord_fn, score_fn, cam, cfg,
+                                     refine_all=refine_all)
+    )(keys, images)
+
+
 def process_frame_softam(key: jax.Array, image: jnp.ndarray,
                          coord_fn: CoordFn, score_fn: ScoreFn, cam: Camera,
                          cfg: DSACConfig) -> FrameResult:

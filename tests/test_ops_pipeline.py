@@ -208,6 +208,59 @@ class TestFullPipeline:
         assert res.probs.shape == (16,)
         assert np.isfinite(np.array(res.entropy))
 
+    def test_batched_serve(self, frame_and_oracle):
+        from dsac_tpu.pipeline.forward import process_frames_batched
+        pose, rgb, fn = frame_and_oracle
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=16,
+                                         random_draw=False))
+        B = 3
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        images = jnp.broadcast_to(rgb, (B, *rgb.shape))
+        res = process_frames_batched(keys, images, fn, self._score_fn,
+                                     CAM, cfg)
+        assert res.final.t.shape == (B, 3)
+        rot_err, t_err = pose_errors(res.final, pose)
+        assert float(jnp.max(rot_err)) < 5.0
+
+    def test_full_pipeline_gradient_matches_fd(self):
+        # The end-to-end oracle check the reference can't do analytically:
+        # d E[loss] / d (coordinate bias) by autodiff vs central
+        # differences THROUGH THE ENTIRE PIPELINE (P3P sampling, scoring,
+        # softmax, GN refinement).  Uses a CLEAN oracle (no outliers):
+        # with outliers, +/-eps probes flip the discrete attempt/candidate
+        # selections and FD straddles a (masked) discontinuity — the same
+        # reason the reference replays refinement with frozen pixelIdxs
+        # in its own FD (core/cnn.h:778).
+        pose, rgb, depth, coords_gt = SCENE.frame(jax.random.PRNGKey(42))
+        fn = oracle_coord_fn(coords_gt, noise_mm=2.0, outlier_frac=0.0)
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=8))
+        key = jax.random.PRNGKey(11)
+
+        def loss_of_bias(delta):
+            def fn2(image, pix):
+                return fn(image, pix) + delta
+            res = process_frame(key, rgb, fn2, self._score_fn, CAM, cfg)
+            ev = evaluate_frame(res, pose)
+            return ev.expected_loss
+
+        g = np.asarray(jax.grad(loss_of_bias)(jnp.zeros(3)))
+        assert np.all(np.isfinite(g))
+        fd = np.zeros(3)
+        for k in range(3):
+            eps = 2e-3  # metres (2 mm), the reference's dRefine epsilon
+            e = np.zeros(3, np.float32)
+            e[k] = eps
+            fd[k] = (float(loss_of_bias(jnp.asarray(e)))
+                     - float(loss_of_bias(jnp.asarray(-e)))) / (2 * eps)
+        # FD through the full f32 pipeline is noisy (loss differences of
+        # ~0.05 against values of ~5), so check direction + scale rather
+        # than per-component tight equality (component-level FD checks in
+        # test_p3p_gn.py / test_geometry.py are the precise ones).
+        cos = float(np.dot(g, fd) / (np.linalg.norm(g) * np.linalg.norm(fd)
+                                     + 1e-12))
+        assert cos > 0.8, (g, fd, cos)
+        assert 0.3 < np.linalg.norm(g) / (np.linalg.norm(fd) + 1e-12) < 3.0
+
     def test_expected_loss_gradient_wrt_coords(self, frame_and_oracle):
         # The e2e training signal: d E[loss] / d coords must be finite and
         # nonzero — this is the quantity the reference assembles by hand
