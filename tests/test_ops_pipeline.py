@@ -208,6 +208,28 @@ class TestFullPipeline:
         assert res.probs.shape == (16,)
         assert np.isfinite(np.array(res.entropy))
 
+    def test_deterministic_under_same_key(self, frame_and_oracle):
+        # The reference's thread-parallelism makes hypothesis sampling
+        # nondeterministic under OpenMP scheduling (SURVEY.md §5); here
+        # the whole pipeline is a pure function of its key: identical
+        # inputs -> bitwise-identical outputs.  (Needs a PURE coord
+        # oracle — the fixture's draws fresh numpy noise per call.)
+        pose, rgb, _ = frame_and_oracle
+        _, _, _, coords_gt = SCENE.frame(jax.random.PRNGKey(42))
+
+        def fn(image, pix):
+            return coords_gt[pix[:, 1], pix[:, 0]] / 1000.0
+
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=16))
+        r1 = process_frame(jax.random.PRNGKey(5), rgb, fn, self._score_fn,
+                           CAM, cfg)
+        r2 = process_frame(jax.random.PRNGKey(5), rgb, fn, self._score_fn,
+                           CAM, cfg)
+        np.testing.assert_array_equal(np.array(r1.final.t),
+                                      np.array(r2.final.t))
+        np.testing.assert_array_equal(np.array(r1.scores),
+                                      np.array(r2.scores))
+
     def test_batched_serve(self, frame_and_oracle):
         from dsac_tpu.pipeline.forward import process_frames_batched
         pose, rgb, fn = frame_and_oracle
