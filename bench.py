@@ -56,7 +56,8 @@ def main():
     @jax.jit
     def serve(keys, images):
         res = process_frames_batched(keys, images, coord_apply, score_apply,
-                                     cam, cfg, refine_all=False)
+                                     cam, cfg, refine_all=False,
+                                     fused_refine=True)
         return res.final.R, res.final.t
 
     images = jnp.broadcast_to(rgb, (B, *rgb.shape))

@@ -28,6 +28,42 @@ from dsac_tpu.geometry.rotation import hat, so3_exp
 _EPS = 1e-8
 
 
+def solve6_cholesky(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 6x6 SPD solve via fully-unrolled Cholesky.
+
+    A: (..., 6, 6) SPD (Jacobi-normalised + damped normal equations),
+    b: (..., 6).  XLA lowers batched jnp.linalg.solve to an LU path that
+    serialises badly on TPU; the unrolled Cholesky is pure vectorised
+    VPU arithmetic over the batch.  Guarded against non-SPD input by
+    flooring the pivots (callers damp A, so pivots are positive anyway).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * 6
+    for i in range(6):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _residuals_and_jac(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
                        cam: Camera):
     """Per-point residual r_i = observed - projected (..., N, 2) and
@@ -95,7 +131,7 @@ def gn_pnp(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
         dn = jax.lax.rsqrt(diag + 1e-12)  # (..., 6)
         A = dn[..., :, None] * JtJ * dn[..., None, :]
         A = A + (damping + 1e-6) * jnp.eye(6, dtype=r.dtype)
-        y = jnp.linalg.solve(A, (dn * Jtr)[..., None])[..., 0]
+        y = solve6_cholesky(A, dn * Jtr)
         delta = jnp.clip(dn * y, -1e4, 1e4)  # (..., 6); mm / rad bounds
         ok = jnp.all(jnp.isfinite(delta), axis=-1, keepdims=True)
         delta = jnp.where(ok, delta, 0.0)

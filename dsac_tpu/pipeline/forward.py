@@ -79,12 +79,17 @@ def _take_pose(p: Pose, idx: jnp.ndarray) -> Pose:
 
 def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                   score_fn: ScoreFn, cam: Camera, cfg: DSACConfig,
-                  refine_all: bool = True) -> FrameResult:
+                  refine_all: bool = True,
+                  fused_refine: bool = False) -> FrameResult:
     """DSAC forward pass for one frame (core/cnn.h:1028-1257).
 
     refine_all=True refines the whole pool (training needs every loss for
     the expectation, core/cnn.h:1154); False refines only the drawn winner
     (the low-latency serve path).
+
+    fused_refine=True uses the fused Pallas IRLS kernel
+    (ops/gn_pallas.py) — ~50x faster refinement on TPU, but with NO
+    backward pass: serve/eval only (training keeps autodiff).
     """
     k_front, k_draw = jax.random.split(key)
     sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
@@ -100,17 +105,32 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     chosen = draw_hypothesis(k_draw, scores, cfg.pose.random_draw)
 
     p = cfg.pose
-    refine = lambda pose0: refine_pose(
-        pose0, coords, pixf, cam, steps=p.refinement_steps,
-        inner_iters=p.gn_inner_steps, threshold=p.inlier_threshold_2d,
-        beta=p.inlier_beta, min_inliers=p.min_inliers, damping=p.gn_damping,
-        max_error=p.max_reprojection_error)
+    if fused_refine:
+        from dsac_tpu.ops.gn_pallas import refine_pose_fused
+        refine_batch = lambda pool: refine_pose_fused(
+            pool, coords, pixf, cam,
+            steps=p.refinement_steps * p.gn_inner_steps,
+            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+            min_inliers=p.min_inliers, damping=p.gn_damping,
+            max_error=p.max_reprojection_error)
+        refine_one = lambda pose0: jax.tree.map(
+            lambda x: x[0],
+            refine_batch(jax.tree.map(lambda x: x[None], pose0)))
+    else:
+        refine = lambda pose0: refine_pose(
+            pose0, coords, pixf, cam, steps=p.refinement_steps,
+            inner_iters=p.gn_inner_steps,
+            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+            min_inliers=p.min_inliers, damping=p.gn_damping,
+            max_error=p.max_reprojection_error)
+        refine_batch = jax.vmap(refine)
+        refine_one = refine
 
     if refine_all:
-        refined, n_in = jax.vmap(refine)(sets.poses)
+        refined, n_in = refine_batch(sets.poses)
         final = _take_pose(refined, chosen)
     else:
-        final, n_chosen = refine(_take_pose(sets.poses, chosen))
+        final, n_chosen = refine_one(_take_pose(sets.poses, chosen))
         refined = sets.poses  # unrefined pool (placeholder)
         n_in = jnp.zeros(scores.shape).at[chosen].set(n_chosen)
 
@@ -122,7 +142,8 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
 def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                            coord_fn: CoordFn, score_fn: ScoreFn,
                            cam: Camera, cfg: DSACConfig,
-                           refine_all: bool = False) -> FrameResult:
+                           refine_all: bool = False,
+                           fused_refine: bool = False) -> FrameResult:
     """Batched serve path: vmap of process_frame over a frame batch.
 
     The production serving shape — batching frames keeps the coordinate
@@ -131,7 +152,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
     """
     return jax.vmap(
         lambda k, img: process_frame(k, img, coord_fn, score_fn, cam, cfg,
-                                     refine_all=refine_all)
+                                     refine_all=refine_all,
+                                     fused_refine=fused_refine)
     )(keys, images)
 
 
