@@ -31,6 +31,9 @@ def main(argv=None, softam: bool = False):
                    help="which snapshots to evaluate; 'none' runs the "
                         "soft-inlier scoring head with an untrained or "
                         "init coordinate net")
+    p.add_argument("--fused-refine", action="store_true",
+                   help="use the fused Pallas IRLS refinement kernel "
+                        "(TPU only; ~50x faster eval)")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     source = common.frame_source(args, cfg, "test")
@@ -81,9 +84,10 @@ def main(argv=None, softam: bool = False):
             cfg.pose.score_beta)
 
     fwd = process_frame_softam if args.softam else process_frame
+    extra = {} if args.softam else {"fused_refine": args.fused_refine}
     run = jax.jit(functools.partial(
         fwd, coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
-        score_fn=score_fn, cam=cam, cfg=cfg))
+        score_fn=score_fn, cam=cam, cfg=cfg, **extra))
 
     variant = "softam" if args.softam else "dsac"
     tag = f"{variant}_{args.arch}_{coord_src}_rdraw{int(cfg.pose.random_draw)}"

@@ -188,3 +188,27 @@ def refine_pose(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray, cam: Camera,
     alive0 = jnp.ones(pose.t.shape[:-1], bool)
     (refined, _), counts = jax.lax.scan(fn, (pose, alive0), None, length=steps)
     return refined, counts[-1]
+
+
+def implicit_refine_step(pose_star: Pose, obj: jnp.ndarray,
+                         pix: jnp.ndarray, cam: Camera,
+                         threshold: float = 10.0, beta: float = 1.0,
+                         damping: float = 1e-4,
+                         max_error: float = 100.0) -> Pose:
+    """One differentiable IRLS step from a (stop-gradient) fixed point.
+
+    Training-speed companion to the fused Pallas refinement
+    (ops/gn_pallas.py, which has no VJP): run the fused solver to
+    convergence under stop_gradient, then take ONE jnp GN step from the
+    converged pose.  At an IRLS fixed point the update is ~0, so the
+    value is unchanged, while the autodiff derivative of this step is the
+    implicit-function derivative of the fixed point w.r.t. the
+    coordinates — notably independent of the P3P initialisation, which is
+    mathematically correct at convergence (the reference's dRefine keeps
+    the init dependence because its 8-step refinement may not converge).
+    """
+    pose_star = jax.tree.map(jax.lax.stop_gradient, pose_star)
+    r, _ = _residuals_and_jac(pose_star, obj, pix, cam)
+    err = jnp.minimum(jnp.sqrt(jnp.sum(r * r, axis=-1) + _EPS), max_error)
+    w = soft_inlier_weights(err, threshold, beta)
+    return gn_pnp(pose_star, obj, pix, w, cam, iters=1, damping=damping)

@@ -87,9 +87,11 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     the expectation, core/cnn.h:1154); False refines only the drawn winner
     (the low-latency serve path).
 
-    fused_refine=True uses the fused Pallas IRLS kernel
-    (ops/gn_pallas.py) — ~50x faster refinement on TPU, but with NO
-    backward pass: serve/eval only (training keeps autodiff).
+    fused_refine: False = autodiff-able jnp refinement (training default);
+    True/"fused" = fused Pallas IRLS kernel (~50x faster on TPU, NO
+    backward — serve/eval); "implicit" = fused forward + one
+    differentiable IRLS step at the fixed point (fast forward AND
+    implicit-function gradients — fast-training mode).
     """
     k_front, k_draw = jax.random.split(key)
     sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
@@ -105,14 +107,34 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     chosen = draw_hypothesis(k_draw, scores, cfg.pose.random_draw)
 
     p = cfg.pose
-    if fused_refine:
+    if fused_refine in (True, "fused", "implicit"):
         from dsac_tpu.ops.gn_pallas import refine_pose_fused
-        refine_batch = lambda pool: refine_pose_fused(
-            pool, coords, pixf, cam,
-            steps=p.refinement_steps * p.gn_inner_steps,
-            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
-            min_inliers=p.min_inliers, damping=p.gn_damping,
-            max_error=p.max_reprojection_error)
+        implicit = fused_refine == "implicit"
+
+        def refine_batch(pool):
+            refined, n_in = refine_pose_fused(
+                pool, coords, pixf, cam,
+                steps=p.refinement_steps * p.gn_inner_steps,
+                threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+                min_inliers=p.min_inliers, damping=p.gn_damping,
+                max_error=p.max_reprojection_error)
+            if implicit:
+                # reattach gradients via one differentiable IRLS step at
+                # the fixed point (geometry/gn.py:implicit_refine_step)
+                from dsac_tpu.geometry.gn import implicit_refine_step
+                obj = jnp.broadcast_to(coords,
+                                       (pool.t.shape[0], *coords.shape))
+                stepped = implicit_refine_step(
+                    refined, obj, pixf, cam,
+                    threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+                    damping=p.gn_damping,
+                    max_error=p.max_reprojection_error)
+                ok = (n_in >= p.min_inliers)[..., None]
+                refined = Pose(
+                    jnp.where(ok[..., None], stepped.R, refined.R),
+                    jnp.where(ok, stepped.t, refined.t))
+            return refined, n_in
+
         refine_one = lambda pose0: jax.tree.map(
             lambda x: x[0],
             refine_batch(jax.tree.map(lambda x: x[None], pose0)))

@@ -246,7 +246,8 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
                       coord_apply: Callable, score_apply: Callable,
                       cam: Camera, cfg: DSACConfig,
                       softam: bool = False,
-                      grad_clamp: float = 0.1):
+                      grad_clamp: float = 0.1,
+                      refine_mode=False):
     """The scalar objective whose jax.grad IS the reference's two-path
     backward (train_ransac.cpp:303-401).
 
@@ -269,7 +270,7 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
         losses = max_loss(res.refined, gt_pose)
     else:
         res = process_frame(key, image, coord_fn, score_fn, cam, cfg,
-                            refine_all=True)
+                            refine_all=True, fused_refine=refine_mode)
         losses = max_loss(res.refined, gt_pose)
         # Hypotheses with probability below 1e-4 are skipped by the
         # reference's pose path for variance control (train_ransac.cpp:319);
@@ -291,16 +292,19 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
 
 def e2e_step(state: TrainState, key: jax.Array, image: jnp.ndarray,
              gt_pose: Pose, coord_apply: Callable, score_apply: Callable,
-             cam: Camera, cfg: DSACConfig, softam: bool = False):
+             cam: Camera, cfg: DSACConfig, softam: bool = False,
+             refine_mode=False):
     """One joint SGD update of both networks (one frame per round, like
-    train_ransac.cpp:241)."""
+    train_ransac.cpp:241).  refine_mode="implicit" uses the fused-forward
+    implicit-gradient refinement (fast-training mode, TPU only)."""
     c_opt, s_opt = e2e_optimizers()
 
     grad_fn = jax.value_and_grad(e2e_expected_loss, argnums=(0, 1),
                                  has_aux=True)
     (loss, aux), (g_coord, g_score) = grad_fn(
         state.coord_params, state.score_params, key, image, gt_pose,
-        coord_apply, score_apply, cam, cfg, softam)
+        coord_apply, score_apply, cam, cfg, softam,
+        refine_mode=refine_mode)
 
     cu, c_state = c_opt.update(g_coord, state.coord_opt, state.coord_params)
     su, s_state = s_opt.update(g_score, state.score_opt, state.score_params)
