@@ -43,6 +43,13 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 #   export DSAC_TPU_COMPILE_CACHE=/path/to/cache
 import os as _os
 
+# This machine's sitecustomize force-registers the remote-TPU "axon"
+# platform and IGNORES JAX_PLATFORMS from the environment; tests and the
+# multi-chip dryrun need a reliable escape hatch to the (possibly
+# device-farmed) CPU backend.
+if _os.environ.get("DSAC_TPU_FORCE_CPU"):
+    _jax.config.update("jax_platforms", "cpu")
+
 _cache_dir = _os.environ.get("DSAC_TPU_COMPILE_CACHE")
 if _cache_dir:
     try:

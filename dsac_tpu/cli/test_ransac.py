@@ -34,6 +34,9 @@ def main(argv=None, softam: bool = False):
     p.add_argument("--fused-refine", action="store_true",
                    help="use the fused Pallas IRLS refinement kernel "
                         "(TPU only; ~50x faster eval)")
+    p.add_argument("--export-poses", type=str, default=None,
+                   help="also write each estimated pose as a 7-Scenes "
+                        "4x4 pose file under this directory")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     source = common.frame_source(args, cfg, "test")
@@ -93,6 +96,16 @@ def main(argv=None, softam: bool = False):
     tag = f"{variant}_{args.arch}_{coord_src}_rdraw{int(cfg.pose.random_draw)}"
     log = TestLog(args.out, tag)
 
+    # scene-centering offset for the exported-pose back-conversion
+    # (test_ransac.cpp:206-219 re-reads translation.txt)
+    from dsac_tpu.data.seven_scenes import (pose_to_7scenes_vec6,
+                                            write_pose_file)
+    translation_m = getattr(getattr(source, "ds", None), "translation", None)
+    if args.export_poses:
+        from pathlib import Path
+        pose_dir = Path(args.export_poses)
+        pose_dir.mkdir(parents=True, exist_ok=True)
+
     n = len(source) if args.rounds is None else min(args.rounds, len(source))
     rots, trans, exps, ents = [], [], [], []
     for i in range(n):
@@ -106,8 +119,14 @@ def main(argv=None, softam: bool = False):
         trans.append(te)
         exps.append(float(ev.expected_loss))
         ents.append(float(ev.entropy))
-        log.frame(rot, te, float(ev.losses[int(res.chosen)]),
-                  float(res.probs[int(res.chosen)]), float(ev.entropy))
+        est_R = np.asarray(res.final.R)
+        est_t = np.asarray(res.final.t)
+        vec6 = pose_to_7scenes_vec6(est_R, est_t, translation_m)
+        log.frame(float(ev.expected_loss), float(ev.entropy),
+                  float(ev.losses[int(res.chosen)]), te, rot, vec6)
+        if args.export_poses:
+            write_pose_file(pose_dir / f"frame-{i:06d}.pose.txt",
+                            est_R, est_t, translation_m)
         colour = green if bool(ev.correct) else red
         print(colour(f"frame {i}: rot {rot:.2f} deg, trans {te:.1f} mm"))
 

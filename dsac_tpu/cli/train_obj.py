@@ -44,6 +44,12 @@ def main(argv=None):
                    help="dense mode: updates fused into one device "
                         "dispatch (amortises remote-TPU latency)")
     p.add_argument("--dense-batch", type=int, default=1)
+    # the reference gates this behind the DOVALIDATION compile flag
+    # (train_obj.cpp:36, :309-331); here it's runtime
+    p.add_argument("--validate-every", type=int, default=0,
+                   help="held-out validation (loss + inlier ratio @ rT3D,"
+                        " train_obj.cpp:104-122) every N updates")
+    p.add_argument("--validate-frames", type=int, default=8)
     args, cfg, strings = common.parse_with_flags(p, argv)
     if args.rounds is not None:
         args.updates = args.rounds
@@ -86,6 +92,68 @@ def main(argv=None):
     log = TrainingLog(f"{args.out}/obj_training_loss.txt")
     print(blue(f"Pre-training coordinate CNN ({args.arch}) for "
                f"{args.updates} updates."))
+
+    # ---- held-out validation: masked L1 (m) + inlier ratio @ rT3D ----
+    # (train_obj.cpp:104-122 getInliers; DOVALIDATION loop :309-331)
+    val_fn = None
+    if args.validate_every > 0:
+        val_source = (common.SyntheticSource(args.validate_frames, seed=777)
+                      if not args.data else source)
+        v_rgbs, v_gts, v_masks = [], [], []
+        for i in range(min(args.validate_frames, len(val_source))):
+            f = val_source.get(i)
+            gt, mask = downsample_obj(f.obj)
+            v_rgbs.append(f.rgb)
+            v_gts.append(gt)
+            v_masks.append(mask)
+        v_images = jax.device_put(np.stack(v_rgbs))
+        v_gtm = jax.device_put(np.stack(v_gts))
+        v_mask = jax.device_put(np.stack(v_masks))
+        rt3d_m = cfg.pose.inlier_threshold_3d / 1000.0  # mm -> metres
+
+        @jax.jit
+        def _validate_dense(params):
+            pred = coord_net.apply(params, v_images)  # (F, H/8, W/8, 3) m
+            d = jnp.sqrt(jnp.sum((pred - v_gtm) ** 2, axis=-1) + 1e-12)
+            n = jnp.maximum(jnp.sum(v_mask), 1.0)
+            loss = jnp.sum(d * v_mask) / n
+            inliers = jnp.sum((d < rt3d_m) * v_mask) / n
+            return loss, inliers
+
+        if args.arch == "dense":
+            val_fn = _validate_dense
+        else:
+            from dsac_tpu.models.coord_net import extract_patches as _ep
+
+            v_patches, v_labels = [], []
+            vrng = np.random.default_rng(777)
+            half = cfg.net.rgb_patch_size // 2
+            for i in range(min(args.validate_frames, len(val_source))):
+                f = val_source.get(i)
+                valid = np.argwhere(np.abs(f.obj).sum(-1) > 0)
+                valid = valid[(valid[:, 0] >= half)
+                              & (valid[:, 0] < f.rgb.shape[0] - half)
+                              & (valid[:, 1] >= half)
+                              & (valid[:, 1] < f.rgb.shape[1] - half)]
+                take = valid[vrng.integers(len(valid), size=128)]
+                pix = jnp.asarray(take[:, ::-1].copy())
+                v_patches.append(_ep(jnp.asarray(f.rgb), pix,
+                                     cfg.net.rgb_patch_size))
+                v_labels.append(f.obj[take[:, 0], take[:, 1]] / 1000.0)
+            v_patches = jnp.concatenate(v_patches)
+            v_labels = jnp.asarray(np.concatenate(v_labels))
+
+            @jax.jit
+            def _validate_patch(params):
+                pred = coord_net.apply(params, v_patches)  # (N, 3) m
+                d = jnp.sqrt(jnp.sum((pred - v_labels) ** 2, axis=-1)
+                             + 1e-12)
+                return jnp.mean(d), jnp.mean(d < rt3d_m)
+
+            val_fn = _validate_patch
+        val_log = TrainingLog(f"{args.out}/obj_validation_loss.txt")
+        next_val = ((start_update // args.validate_every) + 1) \
+            * args.validate_every
 
     # prestage the whole dense-mode frame pool on device once — per-update
     # host involvement is then one dispatch per --steps-per-call updates
@@ -140,6 +208,14 @@ def main(argv=None):
         if update % 50 == 0 or update >= args.updates:
             log.append(update, float(loss))
             print(f"update {update}: L1 {float(loss):.4f} m")
+        if val_fn is not None and update >= next_val:
+            next_val += args.validate_every
+            v_loss, v_inl = val_fn(params)
+            # `<update> <valLoss> <valInliers>` (train_obj.cpp:329)
+            val_log.append(update, float(v_loss),
+                           {"inliers": float(v_inl)})
+            print(blue(f"validation @ {update}: L1 {float(v_loss):.4f} m, "
+                       f"inliers@rT3D {float(v_inl) * 100:.1f}%"))
         if update % args.snapshot_every == 0 or update >= args.updates:
             ckpt.save(args.out, ckpt.OBJ_INIT,
                       {"params": params, "opt_state": opt_state,

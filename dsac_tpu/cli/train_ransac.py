@@ -33,6 +33,14 @@ def main(argv=None, softam: bool = False):
     p.add_argument("--validate-every", type=int, default=0,
                    help="run a held-out validation pass every N rounds")
     p.add_argument("--validate-frames", type=int, default=8)
+    p.add_argument("--refine-mode",
+                   choices=["auto", "unroll", "implicit", "implicit_jnp"],
+                   default="auto",
+                   help="refinement gradient mode (pipeline/forward.py:"
+                        "make_refiners): 'implicit' = fused Pallas forward"
+                        " + implicit-function gradient (fast, TPU); "
+                        "'unroll' = autodiff through the IRLS scan; "
+                        "'auto' picks implicit on TPU, unroll elsewhere")
     args, cfg, strings = common.parse_with_flags(p, argv)
     if args.rounds is not None:
         args.training_rounds = args.rounds
@@ -66,10 +74,18 @@ def main(argv=None, softam: bool = False):
         score_params = score_net.init(jax.random.PRNGKey(2),
                                       jnp.zeros((1, grid, grid)))
 
+    refine_mode = args.refine_mode
+    if refine_mode == "auto":
+        refine_mode = ("implicit"
+                       if jax.devices()[0].platform == "tpu" else "unroll")
+    refine_mode = False if refine_mode == "unroll" else refine_mode
+    if not args.softam:
+        print(blue(f"Refinement gradient mode: {refine_mode or 'unroll'}"))
+
     state = make_e2e_state(coord_params, score_params)
     step_fn = jax.jit(functools.partial(
         e2e_step, coord_apply=coord_apply, score_apply=score_apply,
-        cam=cam, cfg=cfg, softam=args.softam))
+        cam=cam, cfg=cfg, softam=args.softam, refine_mode=refine_mode))
 
     tag = "softam" if args.softam else "e2e"
     log = TrainingLog(f"{args.out}/ransac_training_loss_{tag}.txt")

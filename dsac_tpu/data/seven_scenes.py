@@ -73,6 +73,32 @@ def write_pose_file(path: str | Path, R: np.ndarray, t_mm: np.ndarray,
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def pose_to_7scenes_vec6(R: np.ndarray, t_mm: np.ndarray,
+                         translation_m: np.ndarray | None = None
+                         ) -> np.ndarray:
+    """Internal scene->eye pose -> the reference's exported 6-vector.
+
+    Reproduces the per-frame back-conversion in test_ransac
+    (core/test_ransac.cpp:170-219): invert the estimated pose
+    (eye->scene, i.e. camera-to-world), undo the axis correction
+    (negate columns 1,2), take Rodrigues rotation + translation in
+    metres, and re-add the scene-centering translation.txt offset.
+    Columns 5-10 of the reference's error file hold this vector.
+    """
+    M = np.eye(4)
+    M[:3, :3] = np.asarray(R, np.float64)
+    M[:3, 3] = np.asarray(t_mm, np.float64) / 1000.0
+    M = np.linalg.inv(M) @ np.diag([1.0, -1.0, -1.0, 1.0])
+    # Rodrigues log of the corrected rotation (Hypothesis.cpp:274-289);
+    # so3_log's Shepperd-quaternion path is robust across all of SO(3)
+    from dsac_tpu.geometry.rotation import so3_log
+    rod = np.asarray(so3_log(np.asarray(M[:3, :3], np.float32)), np.float64)
+    t = M[:3, 3]
+    if translation_m is not None:
+        t = t + np.asarray(translation_m, np.float64)
+    return np.concatenate([rod, t])
+
+
 def read_translation(path: str | Path) -> np.ndarray:
     """translation.txt: one line of 3 floats (metres)."""
     toks = Path(path).read_text().split()

@@ -49,27 +49,67 @@ def _local_slice(x: jnp.ndarray, axis_name: str, n_shards: int,
 def banded_dense_coords(apply_full: Callable, image: jnp.ndarray,
                         n_shards: int, margin: int = 32, stride: int = 8,
                         axis_name: str = HYP_AXIS) -> jnp.ndarray:
-    """Spatially-sharded dense-FCN coordinate map over the 'hyp' axis.
+    """Spatially-sharded dense-FCN coordinate map via ppermute halo
+    exchange over the `axis_name` mesh axis.
 
-    Each shard runs the FCN on its horizontal band (+/- a receptive-field
-    margin so the convolutions see full context), crops its stride-aligned
-    rows, and the full map is all_gathered.  Per-shard compute is
-    ~(1/n + 2*margin/H) of the full frame instead of a full replicated
-    pass.  `apply_full` maps (H', W, 3) -> (H'/stride, W/stride, 3).
+    Each shard owns a horizontal band of the frame's rows.  Neighbouring
+    shards exchange 2*margin-row halos over ICI (`ppermute` up/down), each
+    shard runs the FCN on [halo | band | halo], crops its stride-aligned
+    output rows, and the full (H/stride, W/stride, 3) map is all_gathered.
+    Per-shard FCN compute is ~(1/n + 2*margin/H) of a full replicated
+    pass, and only O(margin) rows ride the interconnect per neighbour.
+
+    Non-divisible heights are handled by zero-padding the frame to
+    n_shards * ceil-band rows (the semantic oracle is `apply_full` of the
+    zero-padded frame, cropped — identical to the unpadded frame away
+    from the bottom margin); edge shards shift their window inward
+    (mirroring the reference-era band clamp) so the convolutions only
+    ever see frame rows plus that explicit padding.
+
+    `apply_full` maps (H', W, 3) -> (H'/stride, W/stride, 3) and must be
+    shift-equivariant at `stride` granularity with an effective
+    receptive-field half-width <= margin (DenseCoordNet: 22 px < 32).
     """
     Himg = image.shape[0]
-    band = Himg // n_shards
-    assert band % stride == 0 and margin % stride == 0
-    ext = band + 2 * margin
+    assert Himg % stride == 0 and margin % stride == 0
+    out_rows = Himg // stride
+    band_out = -(-out_rows // n_shards)  # ceil: output rows per shard
+    b_in = band_out * stride  # input band rows per shard
+    Hp = n_shards * b_in  # padded frame height
+    assert 2 * margin <= b_in, (
+        f"margin {margin} too large for band {b_in} "
+        f"({n_shards} shards x {Himg} rows)")
+
     i = jax.lax.axis_index(axis_name)
-    y0 = i * band
-    start = jnp.clip(y0 - margin, 0, Himg - ext)
-    sl = jax.lax.dynamic_slice_in_dim(image, start, ext, axis=0)
-    cmap_ext = apply_full(sl)  # (ext/stride, W/stride, 3)
-    off = (y0 - start) // stride
-    cmap_band = jax.lax.dynamic_slice_in_dim(cmap_ext, off, band // stride,
+    img_p = jnp.pad(image, ((0, Hp - Himg),) + ((0, 0),) * (image.ndim - 1))
+    my = jax.lax.dynamic_slice_in_dim(img_p, i * b_in, b_in, axis=0)
+
+    # halo exchange: shard i sends its bottom 2m rows down / top 2m rows
+    # up; edge shards receive zeros (ppermute's out-of-range fill), which
+    # their clamped windows never read.
+    m2 = 2 * margin
+    up_halo = jax.lax.ppermute(  # rows [i*b_in - 2m, i*b_in) from i-1
+        my[-m2:], axis_name,
+        [(j, j + 1) for j in range(n_shards - 1)])
+    down_halo = jax.lax.ppermute(  # rows [(i+1)*b_in, ..+2m) from i+1
+        my[:m2], axis_name,
+        [(j, j - 1) for j in range(1, n_shards)])
+    strip = jnp.concatenate([up_halo, my, down_halo], axis=0)
+
+    # stride-aligned window of b_in + 2*margin rows, clamped inside the
+    # padded frame (so edge windows slide inward instead of reading the
+    # zero-filled halo slots)
+    ext = b_in + 2 * margin
+    start_g = jnp.clip(i * b_in - margin, 0, Hp - ext)  # global row
+    start_l = start_g - (i * b_in - m2)  # strip-local row
+    window = jax.lax.dynamic_slice_in_dim(strip, start_l, ext, axis=0)
+
+    cmap_ext = apply_full(window)  # (ext/stride, W/stride, 3)
+    off = i * band_out - start_g // stride
+    cmap_band = jax.lax.dynamic_slice_in_dim(cmap_ext, off, band_out,
                                              axis=0)
-    return jax.lax.all_gather(cmap_band, axis_name, tiled=True)
+    full = jax.lax.all_gather(cmap_band, axis_name, tiled=True)
+    return full[:out_rows]
 
 
 def sharded_process_frame(key: jax.Array, image: jnp.ndarray,

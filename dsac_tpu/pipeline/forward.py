@@ -77,6 +77,92 @@ def _take_pose(p: Pose, idx: jnp.ndarray) -> Pose:
     return Pose(p.R[idx], p.t[idx])
 
 
+def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
+                  p, mode):
+    """(refine_batch, refine_one) closures for a refinement `mode`.
+
+    mode selects how the reference's refinement loop + dRefine gradient
+    (core/cnn.h:1168-1230, :866-990) are realised:
+
+      False / "unroll"  — jnp IRLS, gradients by autodiff through the
+                          unrolled scan (exact but slow backward;
+                          training-reference path).
+      True / "fused"    — fused Pallas IRLS kernel (ops/gn_pallas.py).
+                          ~50x faster, NO gradient: serve/eval only.
+      "implicit"        — fused Pallas forward to the IRLS fixed point
+                          (under stop_gradient) + ONE differentiable GN
+                          step there: forward at fused speed, gradients
+                          by the implicit-function theorem.  The fast
+                          TRAINING mode (TPU).
+      "implicit_jnp"    — same gradient semantics with a jnp forward
+                          (no Pallas): CPU-testable twin of "implicit",
+                          and still much faster than "unroll" because
+                          the fixed-point iteration is never
+                          differentiated through.
+    """
+    from dsac_tpu.geometry.gn import implicit_refine_step
+
+    total_steps = p.refinement_steps * p.gn_inner_steps
+
+    def jnp_refine(pool, c=None):
+        # batched (leading pose axis broadcasts against shared coords)
+        return refine_pose(
+            pool, coords if c is None else c, pixf, cam,
+            steps=p.refinement_steps, inner_iters=p.gn_inner_steps,
+            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+            min_inliers=p.min_inliers, damping=p.gn_damping,
+            max_error=p.max_reprojection_error)
+
+    def fused_refine_fp(pool, c=None):
+        from dsac_tpu.ops.gn_pallas import refine_pose_fused
+        # one GN solve per IRLS step -> use inner*outer steps to reach
+        # the same fixed point as the jnp nest
+        return refine_pose_fused(
+            pool, coords if c is None else c, pixf, cam,
+            steps=total_steps,
+            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+            min_inliers=p.min_inliers, damping=p.gn_damping,
+            max_error=p.max_reprojection_error)
+
+    def implicit_batch(pool, fixed_point_fn):
+        # Sever every gradient path INTO the fixed-point solver (the
+        # Pallas kernel has no JVP/VJP; the jnp twin would waste
+        # compute): gradients flow ONLY through the single GN step
+        # below.  stop_gradient must wrap the solver's INPUTS — a
+        # stop on the outputs alone would still trace the kernel's
+        # (nonexistent) JVP rule under jax.grad.
+        pool0 = jax.tree.map(jax.lax.stop_gradient, pool)
+        refined, n_in = fixed_point_fn(pool0, jax.lax.stop_gradient(coords))
+        obj = jnp.broadcast_to(coords, (pool.t.shape[0], *coords.shape))
+        stepped = implicit_refine_step(
+            refined, obj, pixf, cam,
+            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+            damping=p.gn_damping, max_error=p.max_reprojection_error)
+        # dead hypotheses (aborted refinement) keep the frozen pose and
+        # a zero pose-path gradient, like the reference's NaN/inlier
+        # aborts zeroing dRefine (core/cnn.h:1203, :1214)
+        ok = (n_in >= p.min_inliers)[..., None]
+        out = Pose(jnp.where(ok[..., None], stepped.R, refined.R),
+                   jnp.where(ok, stepped.t, refined.t))
+        return out, n_in
+
+    if mode in (True, "fused"):
+        refine_batch = fused_refine_fp
+    elif mode == "implicit":
+        refine_batch = lambda pool: implicit_batch(pool, fused_refine_fp)
+    elif mode == "implicit_jnp":
+        refine_batch = lambda pool: implicit_batch(pool, jnp_refine)
+    elif mode in (False, "unroll"):
+        refine_batch = jax.vmap(jnp_refine)
+    else:
+        raise ValueError(f"unknown refine mode {mode!r}")
+
+    refine_one = lambda pose0: jax.tree.map(
+        lambda x: x[0],
+        refine_batch(jax.tree.map(lambda x: x[None], pose0)))
+    return refine_batch, refine_one
+
+
 def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                   score_fn: ScoreFn, cam: Camera, cfg: DSACConfig,
                   refine_all: bool = True,
@@ -87,11 +173,11 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     the expectation, core/cnn.h:1154); False refines only the drawn winner
     (the low-latency serve path).
 
-    fused_refine: False = autodiff-able jnp refinement (training default);
-    True/"fused" = fused Pallas IRLS kernel (~50x faster on TPU, NO
-    backward — serve/eval); "implicit" = fused forward + one
-    differentiable IRLS step at the fixed point (fast forward AND
-    implicit-function gradients — fast-training mode).
+    fused_refine selects the refinement/gradient mode — see
+    make_refiners: False/"unroll" (autodiff through the scan),
+    True/"fused" (Pallas, serve only), "implicit" (Pallas forward +
+    implicit-function gradient — the fast TPU training mode),
+    "implicit_jnp" (same gradients, no Pallas).
     """
     k_front, k_draw = jax.random.split(key)
     sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
@@ -107,46 +193,8 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     chosen = draw_hypothesis(k_draw, scores, cfg.pose.random_draw)
 
     p = cfg.pose
-    if fused_refine in (True, "fused", "implicit"):
-        from dsac_tpu.ops.gn_pallas import refine_pose_fused
-        implicit = fused_refine == "implicit"
-
-        def refine_batch(pool):
-            refined, n_in = refine_pose_fused(
-                pool, coords, pixf, cam,
-                steps=p.refinement_steps * p.gn_inner_steps,
-                threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
-                min_inliers=p.min_inliers, damping=p.gn_damping,
-                max_error=p.max_reprojection_error)
-            if implicit:
-                # reattach gradients via one differentiable IRLS step at
-                # the fixed point (geometry/gn.py:implicit_refine_step)
-                from dsac_tpu.geometry.gn import implicit_refine_step
-                obj = jnp.broadcast_to(coords,
-                                       (pool.t.shape[0], *coords.shape))
-                stepped = implicit_refine_step(
-                    refined, obj, pixf, cam,
-                    threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
-                    damping=p.gn_damping,
-                    max_error=p.max_reprojection_error)
-                ok = (n_in >= p.min_inliers)[..., None]
-                refined = Pose(
-                    jnp.where(ok[..., None], stepped.R, refined.R),
-                    jnp.where(ok, stepped.t, refined.t))
-            return refined, n_in
-
-        refine_one = lambda pose0: jax.tree.map(
-            lambda x: x[0],
-            refine_batch(jax.tree.map(lambda x: x[None], pose0)))
-    else:
-        refine = lambda pose0: refine_pose(
-            pose0, coords, pixf, cam, steps=p.refinement_steps,
-            inner_iters=p.gn_inner_steps,
-            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
-            min_inliers=p.min_inliers, damping=p.gn_damping,
-            max_error=p.max_reprojection_error)
-        refine_batch = jax.vmap(refine)
-        refine_one = refine
+    refine_batch, refine_one = make_refiners(coords, pixf, cam, p,
+                                             fused_refine)
 
     if refine_all:
         refined, n_in = refine_batch(sets.poses)

@@ -52,10 +52,21 @@ class TrainingLog:
 class TestLog:
     """Per-frame eval file + summary, mirroring test_ransac.cpp.
 
-    Per-frame line: `<rot_err_deg> <trans_err_mm> <loss> <prob> <entropy>`
-    (ransac_pose_errors layout, test_ransac.cpp:221-233); summary line:
-    accuracy, mean/std expected loss, mean/std entropy, median rot (deg),
-    median trans (cm) (test_ransac.cpp:265-273).
+    Per-frame line — the reference's exact 11 columns
+    (test_ransac.cpp:221-233):
+
+        0  expected loss over the hypothesis pool
+        1  entropy of the score distribution
+        2  loss of the selected hypothesis
+        3  translational error (mm)
+        4  rotational error (deg)
+        5-7  selected pose, Rodrigues rotation vector
+             (7-Scenes camera-to-world convention)
+        8-10 selected pose, translation in metres (translation.txt
+             offset re-added)
+
+    Summary line: accuracy, mean/std expected loss, mean/std entropy,
+    median rot (deg), median trans (cm) (test_ransac.cpp:265-273).
     """
 
     def __init__(self, out_dir: str | Path, tag: str):
@@ -67,10 +78,13 @@ class TestLog:
         self.summary_path = out / f"ransac_summary_{tag}.txt"
         self._f = open(self.err_path, "w")
 
-    def frame(self, rot_err_deg: float, trans_err_mm: float, loss: float,
-              prob: float, entropy: float):
-        self._f.write(f"{rot_err_deg:.6f} {trans_err_mm:.6f} {loss:.6f} "
-                      f"{prob:.6f} {entropy:.6f}\n")
+    def frame(self, expected_loss: float, entropy: float, loss: float,
+              trans_err_mm: float, rot_err_deg: float,
+              pose_vec6=None):
+        cols = [expected_loss, entropy, loss, trans_err_mm, rot_err_deg]
+        if pose_vec6 is not None:
+            cols += [float(v) for v in pose_vec6]
+        self._f.write(" ".join(f"{c:.6f}" for c in cols) + "\n")
         self._f.flush()
 
     def summary(self, stats: dict):

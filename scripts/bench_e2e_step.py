@@ -1,0 +1,73 @@
+"""Time one end-to-end DSAC training round per refine-gradient mode.
+
+Usage: python scripts/bench_e2e_step.py [unroll|implicit|implicit_jnp ...]
+
+Full-scale setup (640x480, H=256, full-width DenseCoordNet + ScoreNet,
+8 refinement steps) on whatever backend JAX selects; prints wall-clock
+per training round for each requested mode.  The reference's analogue is
+the dRefine-dominated backward at train_ransac.cpp:303-401.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+
+def main():
+    modes = sys.argv[1:] or ["implicit", "unroll"]
+
+    from dsac_tpu.config import DSACConfig, PoseConfig
+    from dsac_tpu.data.synthetic import SyntheticScene
+    from dsac_tpu.models import DenseCoordNet, ScoreNet
+    from dsac_tpu.models.coord_net import gather_dense_coords
+    from dsac_tpu.pipeline.train import e2e_step, make_e2e_state
+
+    scene = SyntheticScene()
+    cam = scene.camera
+    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=256))
+
+    coord_net = DenseCoordNet()
+    score_net = ScoreNet()
+    pose, rgb, depth, coords = scene.frame(jax.random.PRNGKey(0))
+    cp = coord_net.init(jax.random.PRNGKey(1), rgb[None])
+    sp = score_net.init(jax.random.PRNGKey(2), jnp.zeros((1, 40, 40)))
+
+    def coord_apply(params, image, pix):
+        cmap = coord_net.apply(params, image[None])[0]
+        return gather_dense_coords(cmap, pix, stride=8)
+
+    def score_apply(params, dm):
+        return score_net.apply(params, dm)
+
+    state = make_e2e_state(cp, sp)
+
+    for mode in modes:
+        rm = False if mode == "unroll" else mode
+        import functools
+        step_fn = jax.jit(functools.partial(
+            e2e_step, coord_apply=coord_apply, score_apply=score_apply,
+            cam=cam, cfg=cfg, softam=False, refine_mode=rm))
+        t0 = time.perf_counter()
+        s, loss, aux = step_fn(state, jax.random.PRNGKey(3), rgb, pose)
+        jax.block_until_ready(loss)
+        compile_s = time.perf_counter() - t0
+
+        n = 10
+        t0 = time.perf_counter()
+        s2 = state
+        for i in range(n):
+            s2, loss, aux = step_fn(s2, jax.random.PRNGKey(10 + i), rgb,
+                                    pose)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / n
+        print(f"mode={mode:13s} round={dt*1e3:8.1f} ms  "
+              f"(compile {compile_s:.0f} s)  E[loss]={float(loss):.3f} "
+              f"grad_finite={bool(aux['grad_finite'])}")
+
+
+if __name__ == "__main__":
+    main()

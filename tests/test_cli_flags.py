@@ -81,13 +81,44 @@ class TestLogging:
 
     def test_test_log(self, tmp_path):
         log = TestLog(tmp_path, "demo")
-        log.frame(1.0, 20.0, 2.0, 0.5, 3.0)
+        # reference 11-column layout (test_ransac.cpp:221-233)
+        log.frame(1.0, 3.0, 2.0, 20.0, 0.5,
+                  [0.1, 0.2, 0.3, 1.0, 2.0, 3.0])
         log.summary({"accuracy_5cm5deg": 0.9, "median_rot_err_deg": 1.2,
                      "median_trans_err_cm": 2.5})
         log.close()
-        assert (tmp_path / "ransac_pose_errors_demo.txt").exists()
+        cols = (tmp_path / "ransac_pose_errors_demo.txt").read_text().split()
+        assert len(cols) == 11
+        assert [float(c) for c in cols[:5]] == [1.0, 3.0, 2.0, 20.0, 0.5]
         s = (tmp_path / "ransac_summary_demo.txt").read_text().split()
         assert float(s[0]) == 0.9
+
+    def test_pose_export_roundtrip(self, tmp_path):
+        # the exported 6-vector must agree with write_pose_file +
+        # parse_pose_file (the reference's own back-conversion chain,
+        # test_ransac.cpp:170-219)
+        import numpy as np
+        from dsac_tpu.data.seven_scenes import (parse_pose_file,
+                                                pose_to_7scenes_vec6,
+                                                write_pose_file)
+        from dsac_tpu.geometry.rotation import so3_exp
+
+        rng = np.random.default_rng(3)
+        R = np.asarray(so3_exp(jnp.asarray(rng.normal(size=3) * 0.7,
+                                           jnp.float32)))
+        t_mm = rng.normal(size=3) * 2000.0
+        offset = np.asarray([1.5, -2.0, 0.25])
+
+        vec6 = pose_to_7scenes_vec6(R, t_mm, offset)
+        path = tmp_path / "frame-000000.pose.txt"
+        write_pose_file(path, R, t_mm, offset)
+        R2, t2_m = parse_pose_file(path, offset)
+        # parse(write(pose)) is the identity on the internal pose
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+        np.testing.assert_allclose(t2_m * 1000.0, t_mm, atol=1e-3)
+        # and the vec6 translation equals the file's camera position
+        mat = np.loadtxt(path)
+        np.testing.assert_allclose(vec6[3:], mat[:3, 3], atol=1e-5)
 
 
 class TestTiming:
@@ -129,8 +160,16 @@ class TestCliSmoke:
     def test_train_obj_dense_smoke(self, tmp_path):
         self._run("dsac_tpu.cli.train_obj",
                   ["--synthetic", "2", "--rounds", "3", "--width-mult",
-                   "0.125", "--out", str(tmp_path / "out")], tmp_path)
+                   "0.125", "--out", str(tmp_path / "out"),
+                   "--validate-every", "2", "--validate-frames", "1"],
+                  tmp_path)
         assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
+        # rT3D validation file: `<update> <valLoss> <valInliers>`
+        # (train_obj.cpp:329)
+        val = (tmp_path / "out" / "obj_validation_loss.txt").read_text()
+        row = val.splitlines()[0].split()
+        assert len(row) == 3
+        assert 0.0 <= float(row[2]) <= 1.0
 
     def test_test_ransac_soft_inlier_smoke(self, tmp_path):
         res = self._run("dsac_tpu.cli.test_ransac",
@@ -140,3 +179,7 @@ class TestCliSmoke:
         assert "accuracy@5cm5deg" in res.stdout
         files = list((tmp_path / "out").glob("ransac_summary_*.txt"))
         assert len(files) == 1
+        # per-frame error file carries the reference's 11 columns incl.
+        # the estimated pose (test_ransac.cpp:221-233)
+        err = list((tmp_path / "out").glob("ransac_pose_errors_*.txt"))[0]
+        assert len(err.read_text().splitlines()[0].split()) == 11

@@ -114,8 +114,11 @@ class TestShardedPipeline:
         loss, aux = loss_fn(cp, sp, keys, maps, gt)
         assert np.isfinite(float(loss))
 
-    def test_banded_dense_coords_match_full(self):
-        # spatial FCN sharding must reproduce the unsharded coordinate map
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_banded_dense_coords_match_full(self, n_shards):
+        # spatial FCN sharding (ppermute halo exchange) must reproduce the
+        # unsharded coordinate map at real frame size (480 rows), incl.
+        # the non-divisible 8-shard case (480/8 = 60 rows/band -> padded)
         import functools
         from jax.sharding import PartitionSpec as P
         from dsac_tpu.models import DenseCoordNet
@@ -124,13 +127,20 @@ class TestShardedPipeline:
         net = DenseCoordNet(width=16)
         pose, rgb, depth, coords_gt = SCENE.frame(jax.random.PRNGKey(0))
         params = net.init(jax.random.PRNGKey(1), jnp.asarray(rgb)[None])
-        full = net.apply(params, jnp.asarray(rgb)[None])[0]  # (60, 80, 3)
 
-        mesh = make_mesh(1, 4)
+        # oracle: the FCN on the frame zero-padded to the sharded height
+        # (a no-op pad except for 8 shards: 480 -> 512)
+        stride, margin = 8, 32
+        band_out = -(-(480 // stride) // n_shards)
+        Hp = n_shards * band_out * stride
+        img_p = jnp.pad(jnp.asarray(rgb), ((0, Hp - 480), (0, 0), (0, 0)))
+        full = net.apply(params, img_p[None])[0][:480 // stride]
+
+        mesh = make_mesh(1, n_shards)
         apply_full = lambda img: net.apply(params, img[None])[0]
         fn = jax.jit(jax.shard_map(
             functools.partial(banded_dense_coords, apply_full,
-                              n_shards=4, margin=32),
+                              n_shards=n_shards, margin=margin),
             mesh=mesh, in_specs=(P(),), out_specs=P(),
             check_vma=False,
         ))
