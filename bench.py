@@ -5,30 +5,48 @@ CNN + 256-hypothesis DSAC inference (score CNN scoring, winner refinement).
 The flagship DenseCoordNet runs the full 640x480 frame; hypothesis
 sampling / dense scoring / GN refinement run exactly as in serving.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md);
-contemporary reports of the CPU(OpenMP)+1-GPU reference put it around
-0.5 s/frame with per-stage runtime prints (core/cnn.h:1060-1232) — we use
-2.0 relocalizations/s as a generous reference estimate.  The north-star
-target is >= 10x that (>= 20 fps/chip).
+Realism: the bench serves 8 DISTINCT novel-viewpoint frames per batch and
+loads the end-to-end-trained weights from runs/synth_gen_fast when
+present, reporting accuracy@5cm5deg of the served poses alongside
+throughput (the reference's own acceptance metric, core/cnn.h:1249-1256).
+Throughput is measured with the frame queue staged on device and the
+serve batches dispatched through one fused lax.scan (the dispatch-latency
+tunnel is crossed once per `QUEUE` batches, not once per batch).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+`python bench.py --measure-cpu-baseline` measures THIS pipeline's best
+CPU-backend throughput on the local host (the reference era's hardware
+class, generously scored: identical program, XLA:CPU, all cores) and
+caches it in BASELINE_CPU.json; `vs_baseline` divides by that measured
+number when present, else by the 2.0 reloc/s literature estimate.
+
+MFU: FLOPs are taken from XLA's cost analysis of the compiled serve
+executable and divided by wall time x the chip's bf16 peak
+(197 TFLOP/s for TPU v5e).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
-import jax
-import jax.numpy as jnp
+BASELINE_RELOC_PER_S_GUESS = 2.0  # literature estimate, see docstring
+TPU_V5E_BF16_PEAK = 197e12
+CPU_BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
-BASELINE_RELOC_PER_S = 2.0
 
+def build(on_tpu: bool):
+    import jax
+    import jax.numpy as jnp
 
-def main():
     from dsac_tpu.config import DSACConfig, PoseConfig
     from dsac_tpu.data.synthetic import SyntheticScene
     from dsac_tpu.models import DenseCoordNet, ScoreNet
     from dsac_tpu.models.coord_net import gather_dense_coords
-    from dsac_tpu.pipeline import process_frame
+    from dsac_tpu.pipeline.forward import process_frames_batched
+    from dsac_tpu.utils import checkpoint as ckpt
 
     scene = SyntheticScene()
     cam = scene.camera
@@ -37,10 +55,36 @@ def main():
     coord_net = DenseCoordNet()
     score_net = ScoreNet()
 
-    pose, rgb, depth, coords_gt = scene.frame(jax.random.PRNGKey(0))
-    coord_params = coord_net.init(jax.random.PRNGKey(1), rgb[None])
+    B = 8  # serve batch: keeps CNN matmuls large on the MXU
+    frames, gt_R, gt_t = [], [], []
+    for i in range(B):
+        # novel viewpoints disjoint from the 512-view training keys
+        pose, rgb, depth, coords_gt = scene.frame(jax.random.PRNGKey(9000 + i))
+        frames.append(rgb)
+        gt_R.append(pose.R)
+        gt_t.append(pose.t)
+    images = jnp.stack(frames)
+    gt_R, gt_t = jnp.stack(gt_R), jnp.stack(gt_t)
+
+    coord_params = coord_net.init(jax.random.PRNGKey(1), images[:1])
     score_params = score_net.init(jax.random.PRNGKey(2),
                                   jnp.zeros((1, 40, 40)))
+    trained = False
+    try:
+        from dsac_tpu.pipeline.train import make_e2e_state
+
+        st = make_e2e_state(coord_params, score_params)
+        run_dir = Path(__file__).parent / "runs" / "synth_gen_fast"
+        snap_c = ckpt.restore(run_dir, ckpt.OBJ_E2E,
+                              {"params": coord_params,
+                               "opt_state": st.coord_opt, "step": 0})
+        snap_s = ckpt.restore(run_dir, ckpt.SCORE_E2E,
+                              {"params": score_params,
+                               "opt_state": st.score_opt, "step": 0})
+        coord_params, score_params = snap_c["params"], snap_s["params"]
+        trained = True
+    except Exception:
+        pass  # random-init weights; throughput is weight-independent
 
     def coord_apply(image, pix):
         cmap = coord_net.apply(coord_params, image[None])[0]
@@ -49,36 +93,112 @@ def main():
     def score_apply(dm):
         return score_net.apply(score_params, dm)
 
-    from dsac_tpu.pipeline.forward import process_frames_batched
-
-    B = 8  # serve batch: keeps CNN matmuls large on the MXU
-
-    @jax.jit
-    def serve(keys, images):
-        res = process_frames_batched(keys, images, coord_apply, score_apply,
+    def serve_batch(keys, imgs):
+        res = process_frames_batched(keys, imgs, coord_apply, score_apply,
                                      cam, cfg, refine_all=False,
-                                     fused_refine=True)
+                                     fused_refine=on_tpu)
         return res.final.R, res.final.t
 
-    images = jnp.broadcast_to(rgb, (B, *rgb.shape))
-    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    return serve_batch, images, (gt_R, gt_t), trained, B
 
-    out = serve(keys, images)  # compile + warmup
+
+def measure(on_tpu: bool, queue: int = 8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsac_tpu.geometry.loss import pose_errors
+    from dsac_tpu.geometry.pose import Pose
+
+    serve_batch, images, (gt_R, gt_t), trained, B = build(on_tpu)
+
+    # one fused dispatch serves `queue` batches: scan over a staged
+    # frame queue so the per-dispatch tunnel latency (~25 ms here)
+    # amortises across queue*B frames
+    queue_images = jnp.broadcast_to(images, (queue, *images.shape))
+
+    @jax.jit
+    def serve_many(key, q_images):
+        def body(_, xs):
+            k, imgs = xs
+            return None, serve_batch(jax.random.split(k, B), imgs)
+
+        _, (R, t) = jax.lax.scan(body, None, (jax.random.split(key, queue),
+                                              q_images))
+        return R, t
+
+    lowered = serve_many.lower(jax.random.PRNGKey(0), queue_images)
+    compiled = lowered.compile()
+    try:
+        flops_per_call = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = float("nan")
+
+    out = compiled(jax.random.PRNGKey(0), queue_images)  # warmup
     jax.block_until_ready(out)
 
-    n = 16
+    n = 4 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n):
-        out = serve(jax.random.split(jax.random.PRNGKey(i), B), images)
+        out = compiled(jax.random.PRNGKey(i), queue_images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    value = n * B / dt
+    reloc_per_s = n * queue * B / dt
+    mfu = flops_per_call * n / dt / TPU_V5E_BF16_PEAK if on_tpu else None
+
+    # accuracy of the served poses (5 cm / 5 deg, core/cnn.h:1249-1256)
+    R, t = jax.tree.map(np.asarray, out)
+    rot_err, t_err = pose_errors(Pose(jnp.asarray(R[-1]),
+                                      jnp.asarray(t[-1])),
+                                 Pose(gt_R, gt_t))
+    correct = np.asarray((rot_err < 5.0) & (t_err < 50.0))
+    return {
+        "reloc_per_s": reloc_per_s,
+        "mfu": mfu,
+        "accuracy_5cm5deg": float(np.mean(correct)),
+        "trained_weights": trained,
+        "queue": queue,
+        "batch": B,
+    }
+
+
+def main():
+    if "--measure-cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        r = measure(on_tpu=False, queue=1)
+        CPU_BASELINE_FILE.write_text(json.dumps({
+            "reloc_per_s": round(r["reloc_per_s"], 3),
+            "note": "identical serve program on XLA:CPU, all host cores; "
+                    "generous stand-in for the CPU(OpenMP)+1-GPU reference",
+        }, indent=1))
+        print(CPU_BASELINE_FILE.read_text())
+        return
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if CPU_BASELINE_FILE.exists():
+        baseline = json.loads(CPU_BASELINE_FILE.read_text())["reloc_per_s"]
+        baseline_src = "measured_cpu"
+    else:
+        baseline = BASELINE_RELOC_PER_S_GUESS
+        baseline_src = "literature_estimate"
+
+    r = measure(on_tpu=on_tpu)
     print(json.dumps({
         "metric": "relocalizations_per_s_per_chip",
-        "value": round(value, 2),
-        "unit": "frames/s (256 hyps, 640x480, DenseCoordNet+ScoreNet)",
-        "vs_baseline": round(value / BASELINE_RELOC_PER_S, 2),
+        "value": round(r["reloc_per_s"], 2),
+        "unit": "frames/s (256 hyps, 640x480, DenseCoordNet+ScoreNet, "
+                f"queue {r['queue']} x batch {r['batch']})",
+        "vs_baseline": round(r["reloc_per_s"] / baseline, 2),
+        "baseline_source": baseline_src,
+        "mfu_bf16_peak": (round(r["mfu"], 4) if r["mfu"] is not None
+                          else None),
+        "accuracy_5cm5deg": r["accuracy_5cm5deg"],
+        "trained_weights": r["trained_weights"],
     }))
 
 

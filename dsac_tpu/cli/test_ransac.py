@@ -37,6 +37,15 @@ def main(argv=None, softam: bool = False):
     p.add_argument("--export-poses", type=str, default=None,
                    help="also write each estimated pose as a 7-Scenes "
                         "4x4 pose file under this directory")
+    p.add_argument("--fused-scoring", action="store_true",
+                   help="fuse reprojection + soft-inlier scoring in one "
+                        "Pallas pass (the 4k-16k hypothesis regime; "
+                        "implies soft-inlier scoring, no score CNN)")
+    p.add_argument("--refine-variant", choices=["soft", "hard"],
+                   default="soft",
+                   help="'hard' = reference-faithful hard-threshold "
+                        "refinement with the rB=100 cap and <50 abort "
+                        "(ablation; core/cnn.h:1186-1204)")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     source = common.frame_source(args, cfg, "test")
@@ -88,12 +97,20 @@ def main(argv=None, softam: bool = False):
 
     fwd = process_frame_softam if args.softam else process_frame
     extra = {} if args.softam else {"fused_refine": args.fused_refine}
+    if not args.softam and args.fused_scoring:
+        extra["scoring"] = "fused_soft"
+    if not args.softam and args.refine_variant == "hard":
+        extra["fused_refine"] = "hard"
     run = jax.jit(functools.partial(
         fwd, coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
         score_fn=score_fn, cam=cam, cfg=cfg, **extra))
 
     variant = "softam" if args.softam else "dsac"
     tag = f"{variant}_{args.arch}_{coord_src}_rdraw{int(cfg.pose.random_draw)}"
+    if not args.softam and args.refine_variant == "hard":
+        tag += "_hardref"
+    if not args.softam and args.fused_scoring:
+        tag += f"_fusedscore_h{cfg.pose.num_hypotheses}"
     log = TestLog(args.out, tag)
 
     # scene-centering offset for the exported-pose back-conversion

@@ -19,7 +19,8 @@ from dsac_tpu.models.coord_net import extract_patches
 from dsac_tpu.pipeline.train import (coord_pretrain_optimizer,
                                      coord_pretrain_step,
                                      dense_coord_pretrain_many,
-                                     dense_coord_pretrain_step)
+                                     dense_coord_pretrain_step,
+                                     patch_coord_pretrain_many)
 from dsac_tpu.utils import checkpoint as ckpt
 from dsac_tpu.utils.logging import TrainingLog, blue, green
 from dsac_tpu.cli import common
@@ -41,8 +42,9 @@ def main(argv=None):
     p.add_argument("--patches-per-frame", type=int, default=512)
     p.add_argument("--snapshot-every", type=int, default=1000)
     p.add_argument("--steps-per-call", type=int, default=50,
-                   help="dense mode: updates fused into one device "
-                        "dispatch (amortises remote-TPU latency)")
+                   help="updates fused into one device dispatch via "
+                        "lax.scan (both arches; amortises remote-TPU "
+                        "latency).  1 = legacy host-side patch batching")
     p.add_argument("--dense-batch", type=int, default=1)
     # the reference gates this behind the DOVALIDATION compile flag
     # (train_obj.cpp:36, :309-331); here it's runtime
@@ -85,9 +87,22 @@ def main(argv=None):
                                 jnp.zeros((1, cfg.net.rgb_patch_size,
                                            cfg.net.rgb_patch_size, 3)))
         opt_state = opt.init(params)
+        try:
+            snap = ckpt.restore(args.out, ckpt.OBJ_INIT,
+                                {"params": params, "opt_state": opt_state,
+                                 "step": 0})
+            params, opt_state = snap["params"], snap["opt_state"]
+            start_update = int(snap["step"])
+            print(blue(f"Resumed obj_model_init at update {start_update}."))
+        except FileNotFoundError:
+            pass
         step_fn = jax.jit(functools.partial(
             coord_pretrain_step,
             apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt))
+        patch_many_fn = jax.jit(functools.partial(
+            patch_coord_pretrain_many,
+            apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
+            patch_size=cfg.net.rgb_patch_size))
 
     log = TrainingLog(f"{args.out}/obj_training_loss.txt")
     print(blue(f"Pre-training coordinate CNN ({args.arch}) for "
@@ -168,6 +183,33 @@ def main(argv=None):
         images_d = jax.device_put(np.stack(rgbs))
         gts_d = jax.device_put(np.stack(gts))
         masks_d = jax.device_put(np.stack(masks_))
+    elif args.steps_per_call > 1:
+        # fused patch mode: stage frames + GT maps on device, precompute
+        # per-frame valid (on-object, border-respecting) pixel lists, and
+        # dispatch lax.scan blocks of updates with a host-built schedule
+        rgbs, objs, valid_px = [], [], []
+        half = cfg.net.rgb_patch_size // 2
+        for i in range(len(source)):
+            f = source.get(i)
+            rgbs.append(f.rgb)
+            objs.append(f.obj)
+            valid = np.argwhere(np.abs(f.obj).sum(-1) > 0)
+            valid = valid[(valid[:, 0] >= half)
+                          & (valid[:, 0] < f.rgb.shape[0] - half)
+                          & (valid[:, 1] >= half)
+                          & (valid[:, 1] < f.rgb.shape[1] - half)]
+            valid_px.append(valid[:, ::-1].astype(np.int32))  # (x, y)
+        images_d = jax.device_put(np.stack(rgbs))
+        objs_d = jax.device_put(np.stack(objs))
+
+        def patch_schedule(k):
+            fi = rng.integers(len(source), size=(k, args.batch))
+            pxy = np.empty((k, args.batch, 2), np.int32)
+            for u in range(k):
+                for b, fr in enumerate(fi[u]):
+                    v = valid_px[fr]
+                    pxy[u, b] = v[rng.integers(len(v))]
+            return jnp.asarray(fi.astype(np.int32)), jnp.asarray(pxy)
 
     update = start_update
     while update < args.updates:
@@ -177,6 +219,13 @@ def main(argv=None):
                                                 images_d, gts_d, masks_d)
             loss = losses[-1]
             update += args.steps_per_call
+        elif args.steps_per_call > 1:
+            k = min(args.steps_per_call, args.updates - update)
+            fi, pxy = patch_schedule(k)
+            params, opt_state, losses = patch_many_fn(
+                params, opt_state, images_d, objs_d, fi, pxy)
+            loss = losses[-1]
+            update += k
         else:
             # assemble a round of patches (train_obj.cpp:47-102)
             patches, labels = [], []

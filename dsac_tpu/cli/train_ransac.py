@@ -11,6 +11,8 @@ soft-argmax objective (train_ransac_softam.cpp).
 from __future__ import annotations
 
 import functools
+import json
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,10 @@ def main(argv=None, softam: bool = False):
     p.add_argument("--validate-every", type=int, default=0,
                    help="run a held-out validation pass every N rounds")
     p.add_argument("--validate-frames", type=int, default=8)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fuse this many training rounds into one device "
+                        "dispatch (lax.scan over a prestaged frame pool; "
+                        "amortises remote-TPU dispatch latency)")
     p.add_argument("--refine-mode",
                    choices=["auto", "unroll", "implicit", "implicit_jnp"],
                    default="auto",
@@ -83,6 +89,34 @@ def main(argv=None, softam: bool = False):
         print(blue(f"Refinement gradient mode: {refine_mode or 'unroll'}"))
 
     state = make_e2e_state(coord_params, score_params)
+
+    # --- resume an interrupted e2e run: params + optimizer states + step
+    # AND the data-stream RNG, so the frame schedule continues instead of
+    # replaying (the reference's torch.save keeps weights only) ---
+    obj_name = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
+    score_name = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
+    rng_sidecar = Path(args.out) / f"rng_state_{obj_name}.json"
+    start_round = 0
+    try:
+        snap_c = ckpt.restore(args.out, obj_name,
+                              {"params": state.coord_params,
+                               "opt_state": state.coord_opt, "step": 0})
+        snap_s = ckpt.restore(args.out, score_name,
+                              {"params": state.score_params,
+                               "opt_state": state.score_opt, "step": 0})
+        state = state._replace(
+            coord_params=snap_c["params"], coord_opt=snap_c["opt_state"],
+            score_params=snap_s["params"], score_opt=snap_s["opt_state"],
+            step=jnp.asarray(int(snap_c["step"]), jnp.int32))
+        start_round = int(snap_c["step"])
+        if rng_sidecar.exists():
+            saved = json.loads(rng_sidecar.read_text())
+            if saved.get("round") == start_round:
+                rng.bit_generator.state = saved["state"]
+        print(blue(f"Resumed end-to-end training at round {start_round}."))
+    except FileNotFoundError:
+        pass
+
     step_fn = jax.jit(functools.partial(
         e2e_step, coord_apply=coord_apply, score_apply=score_apply,
         cam=cam, cfg=cfg, softam=args.softam, refine_mode=refine_mode))
@@ -116,23 +150,8 @@ def main(argv=None, softam: bool = False):
             return float(np.mean(correct)), float(np.mean(exp_losses))
 
         val_fn = validate
-    obj_name = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
-    score_name = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
 
-    print(blue(f"End-to-end training ({tag}) for "
-               f"{args.training_rounds} rounds."))
-    for rnd in range(args.training_rounds):
-        f = source.get(int(rng.integers(len(source))))
-        key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
-        state, loss, aux = step_fn(state, key, jnp.asarray(f.rgb), f.pose)
-        log.append(rnd, float(loss), {
-            "expected": float(aux["expected_loss"]),
-            "entropy": float(aux["entropy"]),
-            "valid": float(aux["valid_hyps"])})
-        if rnd % 10 == 0:
-            print(f"round {rnd}: E[loss] {float(loss):.3f} "
-                  f"entropy {float(aux['entropy']):.2f} "
-                  f"valid {int(aux['valid_hyps'])}")
+    def maybe_validate_snapshot(rnd, state):
         if val_fn is not None and (rnd + 1) % args.validate_every == 0:
             acc, exp = val_fn(state)
             val_log.append(rnd, exp, {"accuracy": acc})
@@ -148,6 +167,65 @@ def main(argv=None, softam: bool = False):
                       {"params": state.score_params,
                        "opt_state": state.score_opt,
                        "step": int(state.step)}, step=rnd + 1)
+            rng_sidecar.write_text(json.dumps(
+                {"round": rnd + 1, "state": rng.bit_generator.state}))
+
+    print(blue(f"End-to-end training ({tag}) for "
+               f"{args.training_rounds} rounds."))
+    spc = max(1, args.steps_per_call)
+    if spc > 1:
+        # fused mode: stage the whole frame pool on device once, then
+        # dispatch lax.scan blocks of `spc` rounds (pipeline/train.py:
+        # e2e_step_many).  Snapshot/validation cadence is quantised to
+        # the block boundary.
+        from dsac_tpu.pipeline.train import e2e_step_many
+        images = jnp.asarray(
+            np.stack([source.get(i).rgb for i in range(len(source))]))
+        gt_R = jnp.asarray(np.stack(
+            [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
+        gt_t = jnp.asarray(np.stack(
+            [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
+        many_fn = jax.jit(functools.partial(
+            e2e_step_many, coord_apply=coord_apply,
+            score_apply=score_apply, cam=cam, cfg=cfg, softam=args.softam,
+            refine_mode=refine_mode))
+        rnd = start_round
+        while rnd < args.training_rounds:
+            k = min(spc, args.training_rounds - rnd)
+            idx = jnp.asarray(rng.integers(len(source), size=k), jnp.int32)
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(2 ** 31))), k)
+            state, losses, aux = many_fn(state, keys, idx, images,
+                                         gt_R, gt_t)
+            losses = np.asarray(losses)
+            exp = np.asarray(aux["expected_loss"])
+            ent = np.asarray(aux["entropy"])
+            val = np.asarray(aux["valid_hyps"])
+            for j in range(k):
+                log.append(rnd + j, float(losses[j]), {
+                    "expected": float(exp[j]),
+                    "entropy": float(ent[j]),
+                    "valid": float(val[j])})
+            rnd += k
+            print(f"round {rnd - 1}: E[loss] {float(losses[-1]):.3f} "
+                  f"entropy {float(ent[-1]):.2f} valid {int(val[-1])}")
+            maybe_validate_snapshot(rnd - 1, state)
+        print(green("End-to-end training complete."))
+        return state
+
+    for rnd in range(start_round, args.training_rounds):
+        f = source.get(int(rng.integers(len(source))))
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+        state, loss, aux = step_fn(state, key, jnp.asarray(f.rgb), f.pose)
+        log.append(rnd, float(loss), {
+            "expected": float(aux["expected_loss"]),
+            "entropy": float(aux["entropy"]),
+            "valid": float(aux["valid_hyps"])})
+        if rnd % 10 == 0:
+            print(f"round {rnd}: E[loss] {float(loss):.3f} "
+                  f"entropy {float(aux['entropy']):.2f} "
+                  f"valid {int(aux['valid_hyps'])}")
+        maybe_validate_snapshot(rnd, state)
     print(green("End-to-end training complete."))
     return state
 

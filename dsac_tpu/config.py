@@ -81,6 +81,10 @@ class PoseConfig:
     min_set_size: int = 4
     # Soft-inlier score sharpness for the scoreless/SoftAM scoring head.
     score_beta: float = 10.0
+    # Hypothesis pools above this size are P3P-solved in sequential
+    # chunks (ops/sampling.py) to bound the tiny-trailing-dim padding
+    # scratch that would otherwise OOM the 16k-hypothesis regime.
+    hyp_sample_chunk: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

@@ -190,6 +190,63 @@ def refine_pose(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray, cam: Camera,
     return refined, counts[-1]
 
 
+def refine_pose_hard(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
+                     cam: Camera, steps: int = 8, inner_iters: int = 2,
+                     threshold: float = 10.0, inlier_cap: int = 100,
+                     min_inliers: float = 50.0, damping: float = 1e-4,
+                     max_error: float = 100.0,
+                     key: jax.Array | None = None
+                     ) -> tuple[Pose, jnp.ndarray]:
+    """Reference-faithful refinement: hard threshold + capped re-solves.
+
+    Ablation twin of `refine_pose` reproducing the reference's exact
+    inlier policy (core/cnn.h:1186-1204): a point is an inlier iff its
+    reprojection error < `threshold` (hard, not sigmoid), each re-solve
+    sees at most `inlier_cap` inliers (rB=100 — a uniform random subset,
+    like the reference's arbitrary trim of the collected inlier list;
+    a *best-by-error* cap would concentrate on one image region and
+    bias the solve), and refinement aborts once fewer than `min_inliers`
+    hard inliers remain.  Eval-only: the hard gates have zero/undefined
+    gradients, so training uses the soft-weight path.
+
+    Returns (refined_pose, final hard inlier count).
+    """
+    N = obj.shape[-2]
+    perm = jax.random.permutation(
+        key if key is not None else jax.random.PRNGKey(0), N)
+    inv = jnp.argsort(perm)
+
+    def outer(carry, _):
+        p, alive = carry
+        r, _J = _residuals_and_jac(p, obj, pix, cam)
+        err = jnp.sqrt(jnp.sum(r * r, axis=-1) + _EPS)
+        err = jnp.minimum(err, max_error)
+        inl = err < threshold
+        n_in = jnp.sum(inl, axis=-1)
+        alive = jnp.logical_and(alive, n_in >= min_inliers)
+
+        # cap: the first `inlier_cap` inliers in a random point order —
+        # a uniform random subset with full spatial spread
+        inl_p = inl[..., perm]
+        csum = jnp.cumsum(inl_p.astype(jnp.int32), axis=-1)
+        keep_p = inl_p & (csum <= inlier_cap)
+        w = keep_p[..., inv].astype(obj.dtype)
+
+        new_p = gn_pnp(p, obj, pix, w, cam, iters=inner_iters,
+                       damping=damping)
+        ok = (jnp.all(jnp.isfinite(new_p.R), axis=(-2, -1))
+              & jnp.all(jnp.isfinite(new_p.t), axis=-1))
+        keep = jnp.logical_and(alive, ok)
+        p = Pose(jnp.where(keep[..., None, None], new_p.R, p.R),
+                 jnp.where(keep[..., None], new_p.t, p.t))
+        return (p, alive), n_in
+
+    alive0 = jnp.ones(pose.t.shape[:-1], bool)
+    (refined, _), counts = jax.lax.scan(outer, (pose, alive0), None,
+                                        length=steps)
+    return refined, counts[-1].astype(jnp.float32)
+
+
 def implicit_refine_step(pose_star: Pose, obj: jnp.ndarray,
                          pix: jnp.ndarray, cam: Camera,
                          threshold: float = 10.0, beta: float = 1.0,

@@ -75,42 +75,59 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
 
     idx = jax.random.randint(key, (H, T, 4), 0, n)  # with replacement
 
-    # Duplicate pixels inside a set make it degenerate; the reference
-    # re-draws (alreadyChosen, core/cnn.h:1084-1102).  Flag instead.
-    def has_dup(s):
-        eq = s[:, None] == s[None, :]
-        return jnp.sum(eq) > 4  # diagonal contributes exactly 4
+    def block(idx_b):
+        """Solve one block of hypotheses: idx_b (Hb, T, 4)."""
+        Hb = idx_b.shape[0]
 
-    dup = jax.vmap(jax.vmap(has_dup))(idx)  # (H, T)
+        # Duplicate pixels inside a set make it degenerate; the reference
+        # re-draws (alreadyChosen, core/cnn.h:1084-1102).  Flag instead.
+        def has_dup(s):
+            eq = s[:, None] == s[None, :]
+            return jnp.sum(eq) > 4  # diagonal contributes exactly 4
 
-    obj = coords[idx]  # (H, T, 4, 3)
-    img = pix[idx].astype(jnp.float32)  # (H, T, 4, 2)
+        dup = jax.vmap(jax.vmap(has_dup))(idx_b)  # (Hb, T)
 
-    solve = jax.vmap(jax.vmap(lambda o, p: solve_pnp_minimal(o, p, cam)))
-    poses, solved = solve(obj, img)  # Pose (H, T), (H, T)
+        obj = coords[idx_b]  # (Hb, T, 4, 3)
+        img = pix[idx_b].astype(jnp.float32)  # (Hb, T, 4, 2)
 
-    # Self-consistency: all four support points must reproject within the
-    # inlier threshold (core/cnn.h:1117-1126).
-    reproj = project(poses, obj, cam)  # (H, T, 4, 2)
-    err = jnp.linalg.norm(reproj - img, axis=-1)  # (H, T, 4)
-    worst = jnp.max(err, axis=-1)  # (H, T)
-    consistent = worst < cfg.inlier_threshold_2d
+        solve = jax.vmap(jax.vmap(
+            lambda o, p: solve_pnp_minimal(o, p, cam)))
+        poses, solved = solve(obj, img)  # Pose (Hb, T), (Hb, T)
 
-    valid = solved & consistent & ~dup
-    # First valid attempt; if none, smallest worst-error attempt.
-    first_valid = jnp.argmax(valid, axis=-1)  # 0 if none valid
-    fallback = jnp.argmin(jnp.where(valid, jnp.inf, worst), axis=-1)
-    any_valid = jnp.any(valid, axis=-1)
-    chosen = jnp.where(any_valid, first_valid, fallback).astype(jnp.int32)
+        # Self-consistency: all four support points must reproject within
+        # the inlier threshold (core/cnn.h:1117-1126).
+        reproj = project(poses, obj, cam)  # (Hb, T, 4, 2)
+        err = jnp.linalg.norm(reproj - img, axis=-1)  # (Hb, T, 4)
+        worst = jnp.max(err, axis=-1)  # (Hb, T)
+        consistent = worst < cfg.inlier_threshold_2d
 
-    take = lambda x: jnp.take_along_axis(
-        x, chosen.reshape(H, 1, *([1] * (x.ndim - 2))), axis=1
-    ).squeeze(1)
-    return MinimalSets(
-        indices=take(idx),
-        poses=Pose(take(poses.R), take(poses.t)),
-        valid=any_valid,
-    )
+        valid = solved & consistent & ~dup
+        # First valid attempt; if none, smallest worst-error attempt.
+        first_valid = jnp.argmax(valid, axis=-1)  # 0 if none valid
+        fallback = jnp.argmin(jnp.where(valid, jnp.inf, worst), axis=-1)
+        any_valid = jnp.any(valid, axis=-1)
+        chosen = jnp.where(any_valid, first_valid,
+                           fallback).astype(jnp.int32)
+
+        take = lambda x: jnp.take_along_axis(
+            x, chosen.reshape(Hb, 1, *([1] * (x.ndim - 2))), axis=1
+        ).squeeze(1)
+        return MinimalSets(
+            indices=take(idx_b),
+            poses=Pose(take(poses.R), take(poses.t)),
+            valid=any_valid,
+        )
+
+    # Very-large-H pools (4k-16k, BASELINE config 4) are solved in
+    # sequential chunks: the P3P/triad math carries (..., T, 4, 3, 3)
+    # intermediates whose tiny trailing dims pad ~50x on TPU tile
+    # layouts — chunking bounds that scratch at a constant.
+    chunk = cfg.hyp_sample_chunk
+    if 0 < chunk < H and H % chunk == 0:
+        out = jax.lax.map(block, idx.reshape(H // chunk, chunk, T, 4))
+        return jax.tree.map(
+            lambda x: x.reshape(H, *x.shape[2:]), out)
+    return block(idx)
 
 
 def sample_hypotheses(key: jax.Array, coords: jnp.ndarray, pix: jnp.ndarray,

@@ -57,8 +57,13 @@ class FrameResult(NamedTuple):
 
 
 def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
-               cam: Camera, cfg: DSACConfig):
-    """Shared front: sampling -> coords (mm) -> hypotheses -> diffmaps."""
+               cam: Camera, cfg: DSACConfig, with_diffmaps: bool = True):
+    """Shared front: sampling -> coords (mm) -> hypotheses -> diffmaps.
+
+    with_diffmaps=False skips materialising the (H, G, G) error surface —
+    the very-large-H scoring path fuses it into the score reduction
+    instead (ops/diffmap_pallas.py) so it never touches HBM.
+    """
     k_samp, k_hyp = jax.random.split(key)
     grid = cfg.net.subsample_size
     sampling = stratified_sample(k_samp, cfg.data.image_width,
@@ -68,6 +73,8 @@ def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     coords = coord_fn(image, pix) * 1000.0  # metres -> mm (core/cnn.h:330)
     sets = sample_minimal_sets(k_hyp, coords, pix.astype(jnp.float32), cam,
                                cfg.pose)
+    if not with_diffmaps:
+        return sampling, pix, coords, sets, jnp.zeros((0, grid, grid))
     dm = diffmaps(sets.poses, coords, pix.astype(jnp.float32), cam,
                   cfg.pose.max_reprojection_error)
     return sampling, pix, coords, sets, dm.reshape(-1, grid, grid)
@@ -99,8 +106,12 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
                           and still much faster than "unroll" because
                           the fixed-point iteration is never
                           differentiated through.
+      "hard"            — reference-faithful hard-threshold refinement
+                          with the rB=100 inlier cap and <50 abort
+                          (geometry/gn.py:refine_pose_hard).  Eval-only
+                          ablation mode (core/cnn.h:1186-1204).
     """
-    from dsac_tpu.geometry.gn import implicit_refine_step
+    from dsac_tpu.geometry.gn import implicit_refine_step, refine_pose_hard
 
     total_steps = p.refinement_steps * p.gn_inner_steps
 
@@ -146,8 +157,18 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
                    jnp.where(ok, stepped.t, refined.t))
         return out, n_in
 
+    def hard_refine(pool, c=None):
+        return refine_pose_hard(
+            pool, coords if c is None else c, pixf, cam,
+            steps=p.refinement_steps, inner_iters=p.gn_inner_steps,
+            threshold=p.inlier_threshold_2d,
+            inlier_cap=p.inlier_count_cap, min_inliers=p.min_inliers,
+            damping=p.gn_damping, max_error=p.max_reprojection_error)
+
     if mode in (True, "fused"):
         refine_batch = fused_refine_fp
+    elif mode == "hard":
+        refine_batch = jax.vmap(hard_refine)
     elif mode == "implicit":
         refine_batch = lambda pool: implicit_batch(pool, fused_refine_fp)
     elif mode == "implicit_jnp":
@@ -166,7 +187,8 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
 def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                   score_fn: ScoreFn, cam: Camera, cfg: DSACConfig,
                   refine_all: bool = True,
-                  fused_refine: bool = False) -> FrameResult:
+                  fused_refine: bool = False,
+                  scoring: str = "cnn") -> FrameResult:
     """DSAC forward pass for one frame (core/cnn.h:1028-1257).
 
     refine_all=True refines the whole pool (training needs every loss for
@@ -178,13 +200,34 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     True/"fused" (Pallas, serve only), "implicit" (Pallas forward +
     implicit-function gradient — the fast TPU training mode),
     "implicit_jnp" (same gradients, no Pallas).
+
+    scoring="cnn" feeds the (H, G, G) diff-maps to `score_fn` (the score
+    CNN or the jnp soft-inlier head).  scoring="fused_soft" is the
+    very-large-H regime (4k-16k hypotheses, the scaled analogue of
+    core/cnn.h:1135-1141): the Pallas kernel fuses reprojection + clamp +
+    soft-inlier reduction so the (H, N) surface never materialises in
+    HBM; `score_fn` is unused and FrameResult.dmaps is a (0, G, G)
+    placeholder.
     """
     k_front, k_draw = jax.random.split(key)
-    sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
-                                                 cam, cfg)
+    sampling, pix, coords, sets, dm = _front_end(
+        k_front, image, coord_fn, cam, cfg,
+        with_diffmaps=(scoring == "cnn"))
     pixf = pix.astype(jnp.float32)
 
-    scores = score_fn(dm)
+    if scoring == "fused_soft":
+        from dsac_tpu.ops.diffmap_pallas import soft_inlier_scores_pallas
+        cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy])
+        scores = soft_inlier_scores_pallas(
+            sets.poses.R, sets.poses.t, coords, pixf, cam_vec,
+            threshold=cfg.pose.inlier_threshold_2d,
+            beta=cfg.pose.score_beta,
+            max_error=cfg.pose.max_reprojection_error,
+            interpret=jax.default_backend() != "tpu")
+    elif scoring == "cnn":
+        scores = score_fn(dm)
+    else:
+        raise ValueError(f"unknown scoring mode {scoring!r}")
     # Invalid hypotheses (no self-consistent minimal set) are buried, the
     # analogue of the reference's zero-pose fallback scoring terribly.
     scores = jnp.where(sets.valid, scores, -1e9)
@@ -201,7 +244,12 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
         final = _take_pose(refined, chosen)
     else:
         final, n_chosen = refine_one(_take_pose(sets.poses, chosen))
-        refined = sets.poses  # unrefined pool (placeholder)
+        # Serve path: only the winner is refined.  Write it back into the
+        # pool so FrameResult.refined is self-consistent at `chosen` (a
+        # caller evaluating the served result gets the actually-served
+        # pose); the other slots remain the unrefined hypotheses.
+        refined = Pose(sets.poses.R.at[chosen].set(final.R),
+                       sets.poses.t.at[chosen].set(final.t))
         n_in = jnp.zeros(scores.shape).at[chosen].set(n_chosen)
 
     return FrameResult(sampling, coords, sets.poses, sets.valid,
@@ -213,7 +261,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                            coord_fn: CoordFn, score_fn: ScoreFn,
                            cam: Camera, cfg: DSACConfig,
                            refine_all: bool = False,
-                           fused_refine: bool = False) -> FrameResult:
+                           fused_refine: bool = False,
+                           scoring: str = "cnn") -> FrameResult:
     """Batched serve path: vmap of process_frame over a frame batch.
 
     The production serving shape — batching frames keeps the coordinate
@@ -223,7 +272,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
     return jax.vmap(
         lambda k, img: process_frame(k, img, coord_fn, score_fn, cam, cfg,
                                      refine_all=refine_all,
-                                     fused_refine=fused_refine)
+                                     fused_refine=fused_refine,
+                                     scoring=scoring)
     )(keys, images)
 
 

@@ -3,7 +3,10 @@
 The reference snapshots WEIGHTS ONLY via torch.save every N updates
 (core/lua/train_obj.lua:209-213, 257-261) — no optimizer state, RNG, or
 step counter, so "resume" restarts the schedule.  Here the whole pytree
-(params, optimizer states, step, rng key) is saved and restored, and the
+(params, optimizer states, step) is saved and restored — and the e2e CLI
+additionally persists its data-stream RNG in a JSON sidecar
+(cli/train_ransac.py:rng_sidecar) so a resumed run continues the frame
+schedule instead of replaying it — and the
 reference's fixed model names (obj_model_init, score_model_init,
 obj_model_endtoend, score_model_endtoend; core/properties.cpp:69-70) are
 kept as snapshot directory names.

@@ -8,11 +8,10 @@ collective overheads qualitatively; run on a real slice for BASELINE
 numbers (the program is identical).
 
 Known sharding caveats measured here:
-  * the DENSE coordinate FCN is replicated (not sharded) across the 'hyp'
-    axis — only the patch architecture's CNN FLOPs split over 'hyp';
-    spatial (row-block + halo) sharding of the FCN is future work, so for
-    the dense arch prefer data-parallel meshes (hyp=1) unless running the
-    4k-16k hypothesis regime where scoring/refinement dominate;
+  * the dense coordinate FCN is spatially sharded over the 'hyp' axis via
+    ppermute halo exchange (parallel/sharded.py:banded_dense_coords), so
+    dense-arch meshes with hyp>1 split the CNN FLOPs too (pass
+    --replicated-fcn to measure the old replicated layout);
   * a virtual farm of N devices on fewer physical cores caps efficiency
     at cores/N regardless of program quality.
 
@@ -30,6 +29,9 @@ def main():
                     help="force a virtual CPU device farm of this size")
     ap.add_argument("--frames-per-device", type=int, default=2)
     ap.add_argument("--hyps", type=int, default=64)
+    ap.add_argument("--replicated-fcn", action="store_true",
+                    help="replicate the dense FCN over 'hyp' instead of "
+                         "the banded halo-exchange sharding")
     args = ap.parse_args()
 
     import os
@@ -60,9 +62,20 @@ def main():
     coord_net = DenseCoordNet(width=32)
     score_net = ScoreNet(width_mult=0.5)
 
-    def coord_apply(params, image, pix):
-        cmap = coord_net.apply(params, image[None])[0]
-        return gather_dense_coords(cmap, pix, stride=8)
+    def make_coord_apply(n_hyp_shards):
+        if args.replicated_fcn or n_hyp_shards == 1:
+            def coord_apply(params, image, pix):
+                cmap = coord_net.apply(params, image[None])[0]
+                return gather_dense_coords(cmap, pix, stride=8)
+            return coord_apply, False
+        from dsac_tpu.parallel.sharded import banded_dense_coords
+
+        def coord_apply(params, image, pix):
+            apply_full = lambda img: coord_net.apply(params, img[None])[0]
+            cmap = banded_dense_coords(apply_full, image,
+                                       n_shards=n_hyp_shards)
+            return gather_dense_coords(cmap, pix, stride=8)
+        return coord_apply, True
 
     def score_apply(params, dm):
         return score_net.apply(params, dm)
@@ -96,8 +109,9 @@ def main():
         gt = Pose(jnp.asarray(np.stack([Rs[i % 8] for i in range(B)])),
                   jnp.asarray(np.stack([ts[i % 8] for i in range(B)])))
         keys = jax.random.split(jax.random.PRNGKey(0), B)
+        coord_apply, collective = make_coord_apply(nh)
         step = sharded_e2e_step(mesh, coord_apply, score_apply, cam, cfg,
-                                c_opt, s_opt)
+                                c_opt, s_opt, coord_collective=collective)
         state = (cp, sp, c_opt.init(cp), s_opt.init(sp))
         out = step(*state, keys, images, gt.R, gt.t)
         jax.block_until_ready(out)

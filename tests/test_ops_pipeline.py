@@ -190,6 +190,31 @@ class TestFullPipeline:
         rot_err, t_err = pose_errors(res.final, pose)
         assert float(rot_err) < 5.0 and float(t_err) < 50.0
 
+    def test_large_h_fused_scoring(self, frame_and_oracle):
+        """H=4096 regime (BASELINE config 4) with the fused Pallas
+        scoring path: no (H, N) surface is materialised, scores match the
+        jnp soft-inlier head, and the pipeline still localizes."""
+        pose, rgb, fn = frame_and_oracle
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=4096,
+                                         sample_attempts=4,
+                                         random_draw=False))
+        res = process_frame(jax.random.PRNGKey(4), rgb, fn, None, CAM, cfg,
+                            refine_all=False, scoring="fused_soft")
+        assert res.dmaps.shape[0] == 0  # never materialised
+        rot_err, t_err = pose_errors(res.final, pose)
+        assert float(rot_err) < 5.0 and float(t_err) < 50.0
+
+        # the fused kernel's scores must equal the jnp scoring head
+        pix = res.sampling.reshape(-1, 2).astype(jnp.float32)
+        dm = diffmaps(res.hyps, res.coords, pix, CAM,
+                      cfg.pose.max_reprojection_error)
+        ref = soft_inlier_scores(dm, cfg.pose.inlier_threshold_2d,
+                                 cfg.pose.score_beta)
+        valid = np.asarray(res.hyp_valid)
+        np.testing.assert_allclose(np.asarray(res.scores)[valid],
+                                   np.asarray(ref)[valid],
+                                   rtol=1e-4, atol=1e-2)
+
     def test_softam_localizes(self, frame_and_oracle):
         pose, rgb, fn = frame_and_oracle
         cfg = DSACConfig(pose=PoseConfig(num_hypotheses=64))

@@ -188,6 +188,29 @@ class TestRefine:
         assert float(t_err) < 15.0
         assert float(n_in) > 50
 
+    def test_hard_capped_variant_matches_soft(self, rng):
+        """The reference-faithful hard/capped refinement (rB=100 cap,
+        <50 abort; core/cnn.h:1186-1204) must reach the same fixed point
+        as the soft-weight redesign on a standard noisy scene."""
+        from dsac_tpu.geometry.gn import refine_pose_hard
+
+        pose, scene, pix = self._noisy_scene(rng)
+        w0 = jnp.asarray(rng.normal(size=3) * 0.02, jnp.float32)
+        init = Pose(so3_exp(w0) @ pose.R,
+                    pose.t + jnp.asarray(rng.normal(size=3) * 40,
+                                         jnp.float32))
+        hard, n_hard = refine_pose_hard(init, scene, pix, CAM, steps=8,
+                                        inlier_cap=100)
+        rot_err, t_err = pose_errors(hard, pose)
+        assert float(rot_err) < 0.7
+        assert float(t_err) < 25.0
+        # hard count is an integer count of err<tau points, capped input
+        assert 50 <= float(n_hard) <= 1600
+        # totally-off init: frozen, like the soft path
+        bad = Pose(jnp.eye(3), jnp.asarray([0.0, 0.0, -50000.0]))
+        frozen, _ = refine_pose_hard(bad, scene, pix, CAM, steps=8)
+        np.testing.assert_allclose(np.array(frozen.t), np.array(bad.t))
+
     def test_aborts_on_too_few_inliers(self, rng):
         pose, scene, pix = make_scene(rng, n_points=100)
         # totally wrong init, far from any inliers -> pose must stay frozen
