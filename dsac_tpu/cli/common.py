@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import hashlib
+import os
 from pathlib import Path
 from typing import Iterator
 
@@ -31,7 +33,13 @@ class SyntheticSource:
     """Procedural frames with exact GT (used when no dataset is given).
 
     Frames are rendered once (jitted) and cached host-side — the training
-    loops revisit frames thousands of times.
+    loops revisit frames thousands of times.  A shared on-disk cache
+    (DSAC_TPU_FRAME_CACHE, default runs/frame_cache; empty string
+    disables) additionally persists rendered frames across processes: a
+    training recipe is several CLI programs over the same viewpoint set,
+    and re-staging 512 frames over a remote-TPU tunnel costs ~10 min per
+    program.  Renders are deterministic in (seed, index), so the cache
+    key is just that pair plus the scene's dataclass repr.
     """
 
     def __init__(self, n_frames: int, seed: int = 0, scene=None):
@@ -39,6 +47,13 @@ class SyntheticSource:
         self.n = n_frames
         self.seed = seed
         self._cache: dict[int, Frame] = {}
+        cache_root = os.environ.get("DSAC_TPU_FRAME_CACHE",
+                                    "runs/frame_cache")
+        if cache_root:
+            tag = hashlib.sha1(repr(self.scene).encode()).hexdigest()[:10]
+            self._disk = Path(cache_root) / tag
+        else:
+            self._disk = None
 
     def __len__(self):
         return self.n
@@ -46,11 +61,29 @@ class SyntheticSource:
     def get(self, i: int) -> Frame:
         if i in self._cache:
             return self._cache[i]
+        path = (self._disk / f"s{self.seed}_f{i}.npz" if self._disk
+                else None)
+        if path is not None and path.exists():
+            try:
+                z = np.load(path)
+                f = Frame(z["rgb"], Pose(jnp.asarray(z["R"]),
+                                         jnp.asarray(z["t"])),
+                          z["obj"], z["depth"])
+                self._cache[i] = f
+                return f
+            except Exception:
+                pass  # corrupt/partial file: re-render
         key = jax.random.PRNGKey(self.seed * 100003 + i)
         pose, rgb, depth, coords = self.scene.frame(key)
         f = Frame(np.asarray(rgb, np.float32), pose,
                   np.asarray(coords, np.float32),
                   np.asarray(depth, np.float32))
+        if path is not None:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_name(f"{path.stem}.tmp{os.getpid()}.npz")
+            np.savez(tmp, rgb=f.rgb, depth=f.depth, obj=f.obj,
+                     R=np.asarray(pose.R), t=np.asarray(pose.t))
+            tmp.rename(path)  # atomic: concurrent readers never see partials
         self._cache[i] = f
         return f
 

@@ -94,8 +94,11 @@ def load(argv: list[str] | None = None,
     by -c/config_name, then CLI flags (properties.cpp:270-306)."""
     argv = list(argv or [])
     cli = parse_argv(argv)
-    name = cli.get("c", config_name or "default")
+    name = str(cli.get("c", config_name or "default"))
+    # the reference takes a bare config NAME and appends ".config"
+    # (properties.cpp:283); a full filename/path is accepted here too
+    path = name if name.endswith(".config") else f"{name}.config"
     flags = {}
-    flags = parse_config_file(f"{name}.config", flags)
+    flags = parse_config_file(path, flags)
     flags.update(cli)
     return build_config(flags)

@@ -183,3 +183,52 @@ class TestCliSmoke:
         # the estimated pose (test_ransac.cpp:221-233)
         err = list((tmp_path / "out").glob("ransac_pose_errors_*.txt"))[0]
         assert len(err.read_text().splitlines()[0].split()) == 11
+
+    def test_export_synthetic_dataset_roundtrip(self, tmp_path):
+        """Exporter writes a full 7-Scenes-layout scene; the dataset class
+        and a CLI driven through --data read it back consistently."""
+        import numpy as np
+
+        from dsac_tpu import flags as flagmod
+        from dsac_tpu.data.seven_scenes import SevenScenesDataset
+        from dsac_tpu.data.synthetic import SyntheticScene
+
+        scene_dir = tmp_path / "scene"
+        self._run("dsac_tpu.cli.export_synthetic",
+                  ["--out", str(scene_dir), "--train-frames", "2",
+                   "--test-frames", "1", "--train-seed", "3",
+                   "--test-seed", "99"], tmp_path)
+        for sub in ("rgb_noseg", "depth_noseg", "poses"):
+            assert len(list((scene_dir / "training" / "synth" / sub)
+                            .iterdir())) == 2
+            assert len(list((scene_dir / "test" / "synth" / sub)
+                            .iterdir())) == 1
+
+        # config round-trip: rd 0 (depth exported registered), f=525
+        cfg, _ = flagmod.load(["-c", str(scene_dir / "default.config")])
+        assert cfg.data.raw_data is False
+        assert cfg.data.focal_length == 525.0
+
+        # pose + GT coords round-trip against the renderer
+        ds = SevenScenesDataset(scene_dir / "training" / "synth",
+                                config=cfg.data)
+        assert np.allclose(ds.translation, [1.5, 0.7, 2.1])
+        import jax as _jax
+        sc = SyntheticScene()
+        pose, rgb, depth, coords = sc.frame(_jax.random.PRNGKey(3 * 100003))
+        R, t = ds.get_pose(0)
+        assert np.allclose(R, np.asarray(pose.R), atol=1e-5)
+        assert np.allclose(t, np.asarray(pose.t), atol=0.5)  # mm
+        obj = ds.get_obj(0)
+        gt = np.asarray(coords)
+        valid = (np.asarray(depth) > 0) & (np.abs(obj).sum(-1) > 0)
+        err = np.linalg.norm(obj - gt, axis=-1)[valid]
+        assert np.median(err) < 5.0  # mm (u16 depth quantisation)
+
+        # CLI smoke through the --data disk path
+        self._run("dsac_tpu.cli.train_obj",
+                  ["--data", str(scene_dir / "training" / "synth"),
+                   "-c", str(scene_dir / "default.config"),
+                   "--rounds", "2", "--width-mult", "0.125",
+                   "--out", str(tmp_path / "out")], tmp_path)
+        assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
