@@ -186,3 +186,47 @@ def init_or_restore(out_dir, name, init_fn, template_fn=None):
         template = template_fn() if template_fn else init_fn()
         return ckpt.restore(out_dir, name, template), step
     return init_fn(), 0
+
+
+def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
+                     softam: bool = False):
+    """Shared eval/serve model loading: endtoend > init > random for the
+    coordinate net; (score_params, use_score_net) for the score net —
+    use_score_net False means callers should score with the soft-inlier
+    head.  Mirrors test_ransac.cpp's model-file selection."""
+    import jax.numpy as jnp
+    from dsac_tpu.utils.logging import blue
+
+    if args.arch == "dense":
+        coord_init = lambda: coord_net.init(
+            jax.random.PRNGKey(1), jnp.asarray(sample.rgb)[None])
+    else:
+        coord_init = lambda: coord_net.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, cfg.net.rgb_patch_size,
+                                              cfg.net.rgb_patch_size, 3)))
+    obj_e2e = ckpt.OBJ_SOFTAM if softam else ckpt.OBJ_E2E
+    score_e2e = ckpt.SCORE_SOFTAM if softam else ckpt.SCORE_E2E
+
+    coord_params, coord_src = None, "random"
+    for name in ([obj_e2e, ckpt.OBJ_INIT] if args.model == "endtoend"
+                 else [ckpt.OBJ_INIT] if args.model == "init" else []):
+        try:
+            coord_params = ckpt.restore(args.out, name)["params"]
+            print(blue(f"Loaded {name}."))
+            coord_src = name
+            break
+        except Exception:
+            continue
+    if coord_params is None:
+        print(blue("Using freshly initialised coordinate net."))
+        coord_params = coord_init()
+
+    score_params, use_score_net = None, args.model != "none"
+    if use_score_net:
+        try:
+            score_params = ckpt.restore(
+                args.out, score_e2e if args.model == "endtoend"
+                else ckpt.SCORE_INIT)["params"]
+        except Exception:
+            use_score_net = False
+    return coord_params, coord_src, score_params, use_score_net

@@ -1,0 +1,146 @@
+"""Production relocalization serving: queue-scan batched inference.
+
+The reference's test_ransac is a per-frame loop with three host/device
+boundaries per frame (core/test_ransac.cpp:104-240).  This program is the
+TPU-native serving shape: the frame queue is staged on device once, and
+one fused lax.scan dispatch serves `--queue` batches of `--batch` frames
+(coordinate CNN -> P3P hypothesis sampling -> dense scoring -> softmax
+draw -> winner refinement; winner-only refinement is the low-latency
+serve mode).  Per-dispatch tunnel latency amortises across
+queue x batch frames, which is how serving exceeds the ~25 ms/dispatch
+floor of remote-TPU links.
+
+Reports throughput + accuracy@5cm5deg (when GT poses are available,
+core/cnn.h:1249-1256) as one JSON line, and optionally exports each
+estimated pose in the 7-Scenes convention (test_ransac.cpp:198-233).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsac_tpu.pipeline.forward import process_frames_batched
+from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.logging import blue, green
+from dsac_tpu.cli import common
+
+
+def main(argv=None):
+    p = common.make_parser(__doc__)
+    p.add_argument("--model", choices=["endtoend", "init", "none"],
+                   default="endtoend")
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per vmapped serve batch (MXU utilisation)")
+    p.add_argument("--queue", type=int, default=8,
+                   help="batches fused into one lax.scan dispatch")
+    p.add_argument("--reps", type=int, default=3,
+                   help="timing repetitions over the staged queue")
+    p.add_argument("--export-poses", type=str, default=None,
+                   help="write estimated poses as 7-Scenes pose files")
+    p.add_argument("--fused-refine", action="store_true", default=None,
+                   help="fused Pallas IRLS winner refinement (default on "
+                        "TPU)")
+    args, cfg, strings = common.parse_with_flags(p, argv)
+
+    if args.fused_refine is None:
+        args.fused_refine = jax.default_backend() == "tpu"
+
+    source = common.frame_source(args, cfg, "test")
+    coord_net, score_net, coord_apply, score_apply = common.build_models(
+        args, cfg)
+    cam = cfg.data.camera()
+    grid = cfg.net.subsample_size
+    sample = source.get(0)
+
+    coord_params, _, score_params, use_score_net = common.load_eval_params(
+        args, cfg, coord_net, score_net, sample)
+    if use_score_net:
+        score_fn = lambda dm: score_apply(score_params, dm)
+    else:
+        from dsac_tpu.ops.diffmap import soft_inlier_scores
+        print(blue("Scoring with the soft-inlier head."))
+        score_fn = lambda dm: soft_inlier_scores(
+            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
+            cfg.pose.score_beta)
+
+    # ---- stage the frame queue on device: (queue, batch, H, W, 3) ----
+    B, Q = args.batch, args.queue
+    n = min(len(source), B * Q)
+    frames = [source.get(i % len(source)) for i in range(B * Q)]
+    images = jnp.asarray(np.stack([f.rgb for f in frames])
+                         .reshape(Q, B, *frames[0].rgb.shape))
+    have_gt = all(f.pose is not None for f in frames)
+
+    serve_batch = functools.partial(
+        process_frames_batched,
+        coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
+        score_fn=score_fn, cam=cam, cfg=cfg, refine_all=False,
+        fused_refine=args.fused_refine)
+
+    @jax.jit
+    def serve_queue(key, q_images):
+        def body(_, xs):
+            k, imgs = xs
+            res = serve_batch(jax.random.split(k, B), imgs)
+            return None, (res.final.R, res.final.t)
+
+        _, (R, t) = jax.lax.scan(body, None,
+                                 (jax.random.split(key, Q), q_images))
+        return R, t
+
+    print(blue(f"Serving {B * Q} staged frames ({n} distinct), "
+               f"queue {Q} x batch {B}, "
+               f"refine={'fused' if args.fused_refine else 'jnp'} ..."))
+    out = serve_queue(jax.random.PRNGKey(args.seed), images)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for r in range(args.reps):
+        out = serve_queue(jax.random.PRNGKey(args.seed + r), images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    reloc_per_s = args.reps * Q * B / dt
+
+    R, t = np.asarray(out[0]).reshape(Q * B, 3, 3), \
+        np.asarray(out[1]).reshape(Q * B, 3)
+
+    acc = None
+    if have_gt:
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.geometry.pose import Pose
+        gt_R = jnp.asarray(np.stack([np.asarray(f.pose.R) for f in frames]))
+        gt_t = jnp.asarray(np.stack([np.asarray(f.pose.t) for f in frames]))
+        rot_err, t_err = pose_errors(Pose(jnp.asarray(R), jnp.asarray(t)),
+                                     Pose(gt_R, gt_t))
+        acc = float(np.mean(np.asarray((rot_err < 5.0) & (t_err < 50.0))))
+
+    if args.export_poses:
+        from dsac_tpu.data.seven_scenes import write_pose_file
+        translation_m = getattr(getattr(source, "ds", None),
+                                "translation", None)
+        pose_dir = Path(args.export_poses)
+        pose_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            write_pose_file(pose_dir / f"frame-{i:06d}.pose.txt",
+                            R[i], t[i], translation_m)
+        print(green(f"Exported {n} poses to {pose_dir}"))
+
+    print(json.dumps({
+        "metric": "serve_relocalizations_per_s",
+        "value": round(reloc_per_s, 2),
+        "unit": f"frames/s (H={cfg.pose.num_hypotheses}, "
+                f"queue {Q} x batch {B})",
+        "accuracy_5cm5deg": acc,
+        "backend": jax.default_backend(),
+    }))
+    return reloc_per_s
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,6 @@ import numpy as np
 from dsac_tpu.ops.diffmap import soft_inlier_scores
 from dsac_tpu.pipeline import (evaluate_frame, process_frame,
                                process_frame_softam, summarize)
-from dsac_tpu.utils import checkpoint as ckpt
 from dsac_tpu.utils.logging import TestLog, blue, green, red
 from dsac_tpu.cli import common
 
@@ -55,38 +54,10 @@ def main(argv=None, softam: bool = False):
     grid = cfg.net.subsample_size
     sample = source.get(0)
 
-    # model loading: endtoend > init > random
-    def load(name_e2e, name_init, init_fn):
-        for name in ([name_e2e, name_init] if args.model == "endtoend"
-                     else [name_init]):
-            try:
-                params = ckpt.restore(args.out, name)["params"]
-                print(blue(f"Loaded {name}."))
-                return params, name
-            except Exception:
-                continue
-        print(blue("Using freshly initialised net."))
-        return init_fn(), "random"
-
-    if args.arch == "dense":
-        coord_init = lambda: coord_net.init(
-            jax.random.PRNGKey(1), jnp.asarray(sample.rgb)[None])
-    else:
-        coord_init = lambda: coord_net.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, cfg.net.rgb_patch_size,
-                                              cfg.net.rgb_patch_size, 3)))
-    obj_e2e = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
-    score_e2e = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
-    coord_params, coord_src = load(obj_e2e, ckpt.OBJ_INIT, coord_init)
-
-    use_score_net = args.model != "none"
-    if use_score_net:
-        try:
-            score_params = ckpt.restore(
-                args.out, score_e2e if args.model == "endtoend"
-                else ckpt.SCORE_INIT)["params"]
-        except Exception:
-            use_score_net = False
+    # model loading: endtoend > init > random (shared with cli/serve.py)
+    coord_params, coord_src, score_params, use_score_net = \
+        common.load_eval_params(args, cfg, coord_net, score_net, sample,
+                                softam=args.softam)
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:
