@@ -232,3 +232,18 @@ class TestCliSmoke:
                    "--rounds", "2", "--width-mult", "0.125",
                    "--out", str(tmp_path / "out")], tmp_path)
         assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
+
+    def test_serve_cli_smoke(self, tmp_path):
+        res = self._run("dsac_tpu.cli.serve",
+                        ["--synthetic", "2", "--model", "none",
+                         "--width-mult", "0.125", "--batch", "2",
+                         "--queue", "2", "--reps", "1", "-rI", "16",
+                         "--export-poses", str(tmp_path / "poses")],
+                        tmp_path)
+        line = [l for l in res.stdout.splitlines()
+                if l.startswith("{")][-1]
+        import json as _json
+        rec = _json.loads(line)
+        assert rec["metric"] == "serve_relocalizations_per_s"
+        assert rec["value"] > 0
+        assert len(list((tmp_path / "poses").glob("*.pose.txt"))) == 2
