@@ -84,7 +84,19 @@ def build(on_tpu: bool):
         coord_params, score_params = snap_c["params"], snap_s["params"]
         trained = True
     except Exception:
-        pass  # random-init weights; throughput is weight-independent
+        # no live run dir: fall back to the committed weight artifacts
+        # (scripts/export_weights.py writes them after a training run)
+        try:
+            from dsac_tpu.utils.params_io import load_params_npz
+
+            art = Path(__file__).parent / "artifacts"
+            coord_params = load_params_npz(art / "coord_e2e.npz",
+                                           coord_params)
+            score_params = load_params_npz(art / "score_e2e.npz",
+                                           score_params)
+            trained = True
+        except Exception:
+            pass  # random-init weights; throughput is weight-independent
 
     def coord_apply(image, pix):
         cmap = coord_net.apply(coord_params, image[None])[0]

@@ -17,7 +17,8 @@ import numpy as np
 
 from dsac_tpu.ops.diffmap import soft_inlier_scores
 from dsac_tpu.pipeline import (evaluate_frame, process_frame,
-                               process_frame_softam, summarize)
+                               process_frame_softam, summarize,
+                               verified_selection)
 from dsac_tpu.utils.logging import TestLog, blue, green, red
 from dsac_tpu.cli import common
 
@@ -45,6 +46,13 @@ def main(argv=None, softam: bool = False):
                    help="'hard' = reference-faithful hard-threshold "
                         "refinement with the rB=100 cap and <50 abort "
                         "(ablation; core/cnn.h:1186-1204)")
+    p.add_argument("--select", choices=["score", "inlier"],
+                   default="score",
+                   help="winner selection: 'score' = the reference's "
+                        "pre-refinement score softmax draw; 'inlier' = "
+                        "post-refinement consensus (largest final "
+                        "soft-inlier count; robust to overconfident "
+                        "score-CNN outliers)")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     source = common.frame_source(args, cfg, "test")
@@ -72,12 +80,21 @@ def main(argv=None, softam: bool = False):
         extra["scoring"] = "fused_soft"
     if not args.softam and args.refine_variant == "hard":
         extra["fused_refine"] = "hard"
-    run = jax.jit(functools.partial(
-        fwd, coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
-        score_fn=score_fn, cam=cam, cfg=cfg, **extra))
+    def _fwd(key, image):
+        res = fwd(key, image,
+                  coord_fn=lambda img, pix: coord_apply(coord_params, img,
+                                                        pix),
+                  score_fn=score_fn, cam=cam, cfg=cfg, **extra)
+        if not args.softam and args.select == "inlier":
+            res = verified_selection(res)
+        return res
+
+    run = jax.jit(_fwd)
 
     variant = "softam" if args.softam else "dsac"
     tag = f"{variant}_{args.arch}_{coord_src}_rdraw{int(cfg.pose.random_draw)}"
+    if not args.softam and args.select == "inlier":
+        tag += "_selinlier"
     if not args.softam and args.refine_variant == "hard":
         tag += "_hardref"
     if not args.softam and args.fused_scoring:

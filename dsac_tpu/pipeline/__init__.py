@@ -8,6 +8,6 @@ the autodiff of the expected-loss objective.
 """
 
 from dsac_tpu.pipeline.forward import (
-    FrameResult, process_frame, process_frame_softam,
+    FrameResult, process_frame, process_frame_softam, verified_selection,
 )
 from dsac_tpu.pipeline.evaluate import evaluate_frame, summarize

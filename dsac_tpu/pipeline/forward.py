@@ -56,6 +56,25 @@ class FrameResult(NamedTuple):
     final: Pose  # () the selected refined pose
 
 
+def verified_selection(res: FrameResult) -> FrameResult:
+    """Re-select the winner by post-refinement consensus.
+
+    The reference draws the winner from the score softmax BEFORE
+    refinement (core/cnn.h:1149) — a single overconfident score-CNN
+    output on an out-of-distribution frame can pick a bad hypothesis even
+    when the pool contains excellent ones.  This optional eval-time mode
+    re-selects by the classic RANSAC criterion instead: the refined
+    hypothesis with the largest final soft-inlier count (the counts are
+    already computed by refinement; requires refine_all).  Training
+    semantics are untouched — this is selection only, downstream of the
+    softmax whose distribution the DSAC objective differentiates.
+    """
+    counts = jnp.where(res.hyp_valid, res.inlier_counts, -1.0)
+    chosen = jnp.argmax(counts)
+    return res._replace(chosen=chosen,
+                        final=_take_pose(res.refined, chosen))
+
+
 def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                cam: Camera, cfg: DSACConfig, with_diffmaps: bool = True):
     """Shared front: sampling -> coords (mm) -> hypotheses -> diffmaps.

@@ -53,10 +53,23 @@ def restore(directory: str | Path, name: str, template: Any = None,
         target = mgr.latest_step() if step is None else int(step)
         if target is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        if template is None:
-            return mgr.restore(target)
-        return mgr.restore(target,
-                           args=ocp.args.StandardRestore(template))
+        if template is not None:
+            return mgr.restore(target,
+                               args=ocp.args.StandardRestore(template))
+    # untyped restore: rebuild a HOST-numpy template from the snapshot's
+    # own metadata, so snapshots written on one backend (TPU) restore on
+    # any other (CPU) — a raw mgr.restore(target) replays the saved
+    # shardings and fails off-device
+    item = path / str(target) / "default"
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        meta = ckptr.metadata(item)
+        tree = getattr(meta, "item_metadata", meta)
+        if hasattr(tree, "tree"):
+            tree = tree.tree
+        template = jax.tree.map(
+            lambda m: np.zeros(m.shape, m.dtype), tree,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"))
+        return ckptr.restore(item, args=ocp.args.StandardRestore(template))
 
 
 def latest_step(directory: str | Path, name: str) -> int | None:

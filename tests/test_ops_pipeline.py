@@ -21,7 +21,7 @@ from dsac_tpu.ops import (diffmaps, draw_hypothesis, sample_minimal_sets,
                           shannon_entropy, soft_inlier_scores, softmax_scores,
                           stratified_sample)
 from dsac_tpu.pipeline import evaluate_frame, process_frame, \
-    process_frame_softam
+    process_frame_softam, verified_selection
 
 SCENE = SyntheticScene()
 CAM = SCENE.camera
@@ -221,6 +221,30 @@ class TestFullPipeline:
         res = process_frame_softam(jax.random.PRNGKey(3), rgb, fn,
                                    self._score_fn, CAM, cfg)
         rot_err, t_err = pose_errors(res.final, pose)
+        assert float(rot_err) < 5.0 and float(t_err) < 50.0
+
+    def test_verified_selection(self, frame_and_oracle):
+        """Consensus re-selection picks the max-inlier refined hypothesis
+        and rescues the frame when the score head is adversarial."""
+        pose, rgb, fn = frame_and_oracle
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=64,
+                                         random_draw=False))
+
+        def bad_score_fn(dm):  # prefers HIGH reprojection error
+            return -self._score_fn(dm)
+
+        res = process_frame(jax.random.PRNGKey(7), rgb, fn, bad_score_fn,
+                            CAM, cfg)
+        sel = verified_selection(res)
+        # chosen = argmax of masked final inlier counts
+        counts = np.where(np.asarray(res.hyp_valid),
+                          np.asarray(res.inlier_counts), -1.0)
+        assert int(sel.chosen) == int(np.argmax(counts))
+        i = int(sel.chosen)
+        np.testing.assert_allclose(np.asarray(sel.final.t),
+                                   np.asarray(res.refined.t)[i])
+        # the adversarial score draw is wrong; consensus still localizes
+        rot_err, t_err = pose_errors(sel.final, pose)
         assert float(rot_err) < 5.0 and float(t_err) < 50.0
 
     def test_pipeline_jits(self, frame_and_oracle):
