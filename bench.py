@@ -108,7 +108,8 @@ def build(on_tpu: bool):
     def serve_batch(keys, imgs):
         res = process_frames_batched(keys, imgs, coord_apply, score_apply,
                                      cam, cfg, refine_all=False,
-                                     fused_refine=on_tpu)
+                                     fused_refine=on_tpu,
+                                     fused_sampling=on_tpu)
         return res.final.R, res.final.t
 
     return serve_batch, images, (gt_R, gt_t), trained, B

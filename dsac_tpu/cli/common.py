@@ -125,8 +125,10 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
                    help="use N procedural frames instead of --data")
     p.add_argument("--out", type=str, default="./out",
                    help="output directory (checkpoints, logs)")
-    p.add_argument("--arch", choices=["dense", "patch"], default="dense",
-                   help="coordinate net: dense FCN (flagship) or "
+    p.add_argument("--arch", choices=["dense", "dense_s2d", "patch"],
+                   default="dense",
+                   help="coordinate net: dense FCN (flagship), dense FCN "
+                        "with space-to-depth stem (fastest on TPU), or "
                         "reference-parity patch net")
     p.add_argument("--width-mult", type=float, default=1.0,
                    help="model width multiplier (tests/smoke use <1)")
@@ -164,7 +166,8 @@ def build_models(args, cfg: DSACConfig):
             patches = extract_patches(image, pix, cfg.net.rgb_patch_size)
             return coord_net.apply(params, patches)
     else:
-        coord_net = DenseCoordNet(width=max(8, int(64 * wm)))
+        coord_net = DenseCoordNet(width=max(8, int(64 * wm)),
+                                  s2d=(args.arch == "dense_s2d"))
 
         def coord_apply(params, image, pix):
             cmap = coord_net.apply(params, image[None])[0]

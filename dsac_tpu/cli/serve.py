@@ -82,7 +82,8 @@ def main(argv=None):
         process_frames_batched,
         coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
         score_fn=score_fn, cam=cam, cfg=cfg, refine_all=False,
-        fused_refine=args.fused_refine)
+        fused_refine=args.fused_refine,
+        fused_sampling=args.fused_refine)  # same backend gate
 
     @jax.jit
     def serve_queue(key, q_images):

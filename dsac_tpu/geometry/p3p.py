@@ -276,7 +276,7 @@ def p3p_grunert(obj: jnp.ndarray, bear: jnp.ndarray) -> tuple[jnp.ndarray,
     return ranges, valid
 
 
-def _gn_polish_pose(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
+def gn_polish_pose(pose: Pose, obj: jnp.ndarray, pix: jnp.ndarray,
                     cam: Camera, iters: int = 3) -> Pose:
     """A few unweighted Gauss-Newton steps on the minimal set.
 
@@ -339,7 +339,7 @@ def solve_pnp_minimal(obj: jnp.ndarray, pix: jnp.ndarray, cam: Camera,
                 jnp.where(any_valid[..., None], t, jnp.zeros_like(t)))
 
     if polish_iters > 0:
-        polished = _gn_polish_pose(pose, obj, pix, cam, iters=polish_iters)
+        polished = gn_polish_pose(pose, obj, pix, cam, iters=polish_iters)
         ok = (jnp.all(jnp.isfinite(polished.R), axis=(-2, -1))
               & jnp.all(jnp.isfinite(polished.t), axis=-1))
         keep = (any_valid & ok)[..., None]

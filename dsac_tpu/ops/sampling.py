@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dsac_tpu.config import Camera, PoseConfig
-from dsac_tpu.geometry.p3p import solve_pnp_minimal
+from dsac_tpu.geometry.p3p import gn_polish_pose, solve_pnp_minimal
 from dsac_tpu.geometry.pose import Pose
 from dsac_tpu.geometry.projection import project
 
@@ -54,9 +54,54 @@ class MinimalSets(NamedTuple):
     valid: jnp.ndarray  # (H,) bool — solved AND self-consistent
 
 
+def _has_dup(s: jnp.ndarray) -> jnp.ndarray:
+    """Duplicate pixels in a 4-index set make it degenerate; the reference
+    re-draws (alreadyChosen, core/cnn.h:1084-1102).  Flag instead."""
+    eq = s[:, None] == s[None, :]
+    return jnp.sum(eq) > 4  # diagonal contributes exactly 4
+
+
+def _select(idx_b: jnp.ndarray, poses: Pose, valid: jnp.ndarray,
+            worst: jnp.ndarray, polish: bool, coords: jnp.ndarray,
+            pix: jnp.ndarray, cam: Camera) -> MinimalSets:
+    """Pick the first valid attempt per hypothesis.
+
+    idx_b: (Hb, T, 4); poses (Hb, T); valid/worst (Hb, T).  If no attempt
+    is valid the smallest worst-error attempt is used and the hypothesis
+    is flagged invalid (downstream scoring buries it, like the
+    reference's zero-pose fallback, core/cnn.h:66-77).  With polish=True
+    the selected set gets the sub-pixel GN polish (the expensive part —
+    3 iterations x 6x6 solve — runs on ONE attempt per hypothesis, 1/T
+    the solves; the fused serve path uses this).
+    """
+    Hb = idx_b.shape[0]
+    first_valid = jnp.argmax(valid, axis=-1)  # 0 if none valid
+    fallback = jnp.argmin(jnp.where(valid, jnp.inf, worst), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    chosen = jnp.where(any_valid, first_valid, fallback).astype(jnp.int32)
+
+    take = lambda x: jnp.take_along_axis(
+        x, chosen.reshape(Hb, 1, *([1] * (x.ndim - 2))), axis=1
+    ).squeeze(1)
+    sel_idx = take(idx_b)  # (Hb, 4)
+    sel_pose = Pose(take(poses.R), take(poses.t))
+
+    if polish:
+        polished = gn_polish_pose(sel_pose, coords[sel_idx],
+                                  pix[sel_idx].astype(jnp.float32), cam)
+        ok = (jnp.all(jnp.isfinite(polished.R), axis=(-2, -1))
+              & jnp.all(jnp.isfinite(polished.t), axis=-1))
+        keep = any_valid & ok
+        sel_pose = Pose(
+            jnp.where(keep[:, None, None], polished.R, sel_pose.R),
+            jnp.where(keep[:, None], polished.t, sel_pose.t))
+
+    return MinimalSets(indices=sel_idx, poses=sel_pose, valid=any_valid)
+
+
 def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
                         pix: jnp.ndarray, cam: Camera,
-                        cfg: PoseConfig) -> MinimalSets:
+                        cfg: PoseConfig, fused: bool = False) -> MinimalSets:
     """Draw one self-consistent 4-point minimal set + P3P pose per hypothesis.
 
     coords: (N, 3) predicted scene coordinates (mm) at the N subsampled
@@ -65,28 +110,44 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
     The reference resamples each hypothesis until P3P succeeds and all four
     points reproject within the inlier threshold (core/cnn.h:1081-1128).
     Here each of H hypotheses draws `cfg.sample_attempts` candidate sets up
-    front; the first valid one is selected branchlessly.  If none is valid
-    the attempt with the smallest worst-point reprojection error is used
-    and the hypothesis is flagged invalid (downstream scoring will bury it,
-    like the reference's zero-pose fallback, core/cnn.h:66-77).
+    front; the first valid one is selected branchlessly.
+
+    fused=True solves all H x T attempts with the structure-of-arrays
+    Pallas kernel (ops/p3p_pallas.py) — ~10x faster on TPU, forward-only
+    (serve/eval; training keeps the differentiable jnp path).  The two
+    paths differ in WHERE the GN polish runs: the jnp path polishes every
+    attempt before the consistency check (marginal sets that only
+    converge under GN stay valid — important for gradient flow from
+    weakly-trained coordinate nets, where raw-P3P consistency can reject
+    the whole pool and zero the score gradients); the fused path checks
+    raw P3P output (reference-faithful: OpenCV's closed-form CV_P3P is
+    also checked raw, core/cnn.h:1111-1126) and polishes only the
+    selected set — measured bit-identical serve accuracy with trained
+    coords, at 1/T the polish cost.
     """
     n = coords.shape[0]
     H, T = cfg.num_hypotheses, cfg.sample_attempts
 
     idx = jax.random.randint(key, (H, T, 4), 0, n)  # with replacement
+    dup = jax.vmap(jax.vmap(_has_dup))(idx)  # (H, T)
 
-    def block(idx_b):
-        """Solve one block of hypotheses: idx_b (Hb, T, 4)."""
-        Hb = idx_b.shape[0]
+    if fused:
+        from dsac_tpu.ops.p3p_pallas import p3p_solve_pallas
 
-        # Duplicate pixels inside a set make it degenerate; the reference
-        # re-draws (alreadyChosen, core/cnn.h:1084-1102).  Flag instead.
-        def has_dup(s):
-            eq = s[:, None] == s[None, :]
-            return jnp.sum(eq) > 4  # diagonal contributes exactly 4
+        obj = coords[idx].reshape(H * T, 4, 3)
+        img = pix[idx].astype(jnp.float32).reshape(H * T, 4, 2)
+        cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy]).astype(jnp.float32)
+        flat, solved, worst = p3p_solve_pallas(
+            obj, img, cam_vec, interpret=jax.default_backend() != "tpu")
+        poses = Pose(flat.R.reshape(H, T, 3, 3), flat.t.reshape(H, T, 3))
+        valid = (solved.reshape(H, T)
+                 & (worst.reshape(H, T) < cfg.inlier_threshold_2d) & ~dup)
+        return _select(idx, poses, valid, worst.reshape(H, T), True,
+                       coords, pix, cam)
 
-        dup = jax.vmap(jax.vmap(has_dup))(idx_b)  # (Hb, T)
-
+    def block(args):
+        """Solve one block of hypotheses: idx_b (Hb, T, 4), dup_b (Hb, T)."""
+        idx_b, dup_b = args
         obj = coords[idx_b]  # (Hb, T, 4, 3)
         img = pix[idx_b].astype(jnp.float32)  # (Hb, T, 4, 2)
 
@@ -99,35 +160,22 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
         reproj = project(poses, obj, cam)  # (Hb, T, 4, 2)
         err = jnp.linalg.norm(reproj - img, axis=-1)  # (Hb, T, 4)
         worst = jnp.max(err, axis=-1)  # (Hb, T)
-        consistent = worst < cfg.inlier_threshold_2d
-
-        valid = solved & consistent & ~dup
-        # First valid attempt; if none, smallest worst-error attempt.
-        first_valid = jnp.argmax(valid, axis=-1)  # 0 if none valid
-        fallback = jnp.argmin(jnp.where(valid, jnp.inf, worst), axis=-1)
-        any_valid = jnp.any(valid, axis=-1)
-        chosen = jnp.where(any_valid, first_valid,
-                           fallback).astype(jnp.int32)
-
-        take = lambda x: jnp.take_along_axis(
-            x, chosen.reshape(Hb, 1, *([1] * (x.ndim - 2))), axis=1
-        ).squeeze(1)
-        return MinimalSets(
-            indices=take(idx_b),
-            poses=Pose(take(poses.R), take(poses.t)),
-            valid=any_valid,
-        )
+        valid = solved & (worst < cfg.inlier_threshold_2d) & ~dup_b
+        return _select(idx_b, poses, valid, worst, False, coords, pix,
+                       cam)
 
     # Very-large-H pools (4k-16k, BASELINE config 4) are solved in
     # sequential chunks: the P3P/triad math carries (..., T, 4, 3, 3)
     # intermediates whose tiny trailing dims pad ~50x on TPU tile
-    # layouts — chunking bounds that scratch at a constant.
+    # layouts — chunking bounds that scratch at a constant.  (The fused
+    # path above needs no chunking: its SoA layout never pads.)
     chunk = cfg.hyp_sample_chunk
     if 0 < chunk < H and H % chunk == 0:
-        out = jax.lax.map(block, idx.reshape(H // chunk, chunk, T, 4))
+        out = jax.lax.map(block, (idx.reshape(H // chunk, chunk, T, 4),
+                                  dup.reshape(H // chunk, chunk, T)))
         return jax.tree.map(
             lambda x: x.reshape(H, *x.shape[2:]), out)
-    return block(idx)
+    return block((idx, dup))
 
 
 def sample_hypotheses(key: jax.Array, coords: jnp.ndarray, pix: jnp.ndarray,

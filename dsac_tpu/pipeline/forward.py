@@ -76,12 +76,15 @@ def verified_selection(res: FrameResult) -> FrameResult:
 
 
 def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
-               cam: Camera, cfg: DSACConfig, with_diffmaps: bool = True):
+               cam: Camera, cfg: DSACConfig, with_diffmaps: bool = True,
+               fused_sampling: bool = False):
     """Shared front: sampling -> coords (mm) -> hypotheses -> diffmaps.
 
     with_diffmaps=False skips materialising the (H, G, G) error surface —
     the very-large-H scoring path fuses it into the score reduction
     instead (ops/diffmap_pallas.py) so it never touches HBM.
+    fused_sampling solves the H x T minimal sets with the SoA Pallas P3P
+    kernel (forward-only: serve/eval).
     """
     k_samp, k_hyp = jax.random.split(key)
     grid = cfg.net.subsample_size
@@ -91,7 +94,7 @@ def _front_end(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     pix = sampling.reshape(-1, 2)
     coords = coord_fn(image, pix) * 1000.0  # metres -> mm (core/cnn.h:330)
     sets = sample_minimal_sets(k_hyp, coords, pix.astype(jnp.float32), cam,
-                               cfg.pose)
+                               cfg.pose, fused=fused_sampling)
     if not with_diffmaps:
         return sampling, pix, coords, sets, jnp.zeros((0, grid, grid))
     dm = diffmaps(sets.poses, coords, pix.astype(jnp.float32), cam,
@@ -207,7 +210,8 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                   score_fn: ScoreFn, cam: Camera, cfg: DSACConfig,
                   refine_all: bool = True,
                   fused_refine: bool = False,
-                  scoring: str = "cnn") -> FrameResult:
+                  scoring: str = "cnn",
+                  fused_sampling: bool = False) -> FrameResult:
     """DSAC forward pass for one frame (core/cnn.h:1028-1257).
 
     refine_all=True refines the whole pool (training needs every loss for
@@ -231,7 +235,7 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     k_front, k_draw = jax.random.split(key)
     sampling, pix, coords, sets, dm = _front_end(
         k_front, image, coord_fn, cam, cfg,
-        with_diffmaps=(scoring == "cnn"))
+        with_diffmaps=(scoring == "cnn"), fused_sampling=fused_sampling)
     pixf = pix.astype(jnp.float32)
 
     if scoring == "fused_soft":
@@ -281,7 +285,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                            cam: Camera, cfg: DSACConfig,
                            refine_all: bool = False,
                            fused_refine: bool = False,
-                           scoring: str = "cnn") -> FrameResult:
+                           scoring: str = "cnn",
+                           fused_sampling: bool = False) -> FrameResult:
     """Batched serve path: vmap of process_frame over a frame batch.
 
     The production serving shape — batching frames keeps the coordinate
@@ -292,7 +297,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
         lambda k, img: process_frame(k, img, coord_fn, score_fn, cam, cfg,
                                      refine_all=refine_all,
                                      fused_refine=fused_refine,
-                                     scoring=scoring)
+                                     scoring=scoring,
+                                     fused_sampling=fused_sampling)
     )(keys, images)
 
 

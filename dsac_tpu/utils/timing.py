@@ -68,3 +68,39 @@ def time_jitted(fn, *args, iters: int = 20, warmup: int = 2) -> float:
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def time_jitted_amortized(fn, *args, reps: int = 100, vary: int = 0,
+                          iters: int = 5, warmup: int = 1) -> float:
+    """Per-call device time (seconds) of fn, amortised over `reps`
+    serialized executions inside ONE dispatch.
+
+    Resolves stage costs far below the per-dispatch latency floor of a
+    remote-TPU tunnel (~25 ms on this box), where `time_jitted` can only
+    report max(floor, cost).  The scan carry is threaded through argument
+    `vary` (must be a float array): each iteration's input depends on the
+    previous iteration's output scaled to ~1e-30 (numerically a no-op),
+    so XLA can neither CSE the loop body to a single execution nor
+    overlap iterations.
+    """
+    import jax.numpy as jnp
+
+    args = list(args)
+    base = jnp.asarray(args[vary])
+
+    @jax.jit
+    def run(x0):
+        def body(x, _):
+            a = list(args)
+            a[vary] = x
+            out = fn(*a)
+            leaf = next(l for l in jax.tree.leaves(out)
+                        if hasattr(l, "dtype"))
+            eps = jnp.nan_to_num(jnp.mean(leaf).astype(base.dtype),
+                                 0.0, 0.0, 0.0) * 1e-30
+            return x0 + eps, None
+        x, _ = jax.lax.scan(body, x0, None, length=reps)
+        return x
+
+    t_total = time_jitted(run, base, iters=iters, warmup=warmup)
+    return t_total / reps

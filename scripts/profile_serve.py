@@ -19,7 +19,7 @@ from dsac_tpu.models import DenseCoordNet, ScoreNet
 from dsac_tpu.models.coord_net import gather_dense_coords
 from dsac_tpu.ops.diffmap import diffmaps, soft_inlier_scores
 from dsac_tpu.ops.sampling import sample_minimal_sets, stratified_sample
-from dsac_tpu.utils.timing import time_jitted
+from dsac_tpu.utils.timing import time_jitted_amortized as timed
 
 
 def main(H=256, attempts=16):
@@ -41,56 +41,66 @@ def main(H=256, attempts=16):
 
     timings = {}
 
-    cnn = jax.jit(lambda img: coord_net.apply(cp, img[None])[0])
-    timings["coord_cnn_dense"] = time_jitted(cnn, rgb)
+    cnn = lambda img: coord_net.apply(cp, img[None])[0]
+    timings["coord_cnn_dense"] = timed(cnn, rgb, reps=20)
 
-    cmap = cnn(rgb)
-    gather = jax.jit(lambda cm: gather_dense_coords(cm, pix) * 1000.0)
-    timings["coord_gather"] = time_jitted(gather, cmap)
-    coords = gather(cmap)
+    cmap = jax.jit(cnn)(rgb)
+    gather = lambda cm: gather_dense_coords(cm, pix) * 1000.0
+    timings["coord_gather"] = timed(gather, cmap)
+    coords = jax.jit(gather)(cmap)
 
-    samp = jax.jit(functools.partial(sample_minimal_sets, cam=cam,
-                                     cfg=cfg.pose))
-    timings["p3p_sampling"] = time_jitted(
-        lambda: samp(key, coords, pixf), iters=10)
-    sets = samp(key, coords, pixf)
+    samp = functools.partial(sample_minimal_sets, cam=cam, cfg=cfg.pose)
+    timings["p3p_sampling"] = timed(
+        lambda c: samp(key, c, pixf), coords, reps=20)
+    sets = jax.jit(samp)(key, coords, pixf)
 
-    dm_fn = jax.jit(lambda p_, c: diffmaps(p_, c, pixf, cam))
-    timings["diffmaps_xla"] = time_jitted(dm_fn, sets.poses, coords)
-    dm = dm_fn(sets.poses, coords)
+    dm_fn = lambda p_, c: diffmaps(p_, c, pixf, cam)
+    timings["diffmaps_xla"] = timed(dm_fn, sets.poses, coords, vary=1)
+    dm = jax.jit(dm_fn)(sets.poses, coords)
 
     try:
         from dsac_tpu.ops.diffmap_pallas import (diffmaps_pallas,
                                                  soft_inlier_scores_pallas)
         cam_vec = jnp.asarray([float(cam.focal), float(cam.cx),
                                float(cam.cy)], jnp.float32)
-        pk = jax.jit(lambda R, t, c: diffmaps_pallas(R, t, c, pixf, cam_vec))
-        timings["diffmaps_pallas"] = time_jitted(pk, sets.poses.R,
-                                                 sets.poses.t, coords)
-        sk = jax.jit(lambda R, t, c: soft_inlier_scores_pallas(
-            R, t, c, pixf, cam_vec))
-        timings["scores_fused_pallas"] = time_jitted(sk, sets.poses.R,
-                                                     sets.poses.t, coords)
+        pk = lambda R, t, c: diffmaps_pallas(R, t, c, pixf, cam_vec)
+        timings["diffmaps_pallas"] = timed(pk, sets.poses.R,
+                                           sets.poses.t, coords, vary=2)
+        sk = lambda R, t, c: soft_inlier_scores_pallas(
+            R, t, c, pixf, cam_vec)
+        timings["scores_fused_pallas"] = timed(sk, sets.poses.R,
+                                               sets.poses.t, coords, vary=2)
     except Exception as e:  # pallas unavailable on this backend
         timings["pallas_error"] = str(e)[:120]
 
-    score = jax.jit(lambda d: score_net.apply(sp, d.reshape(-1, 40, 40)))
-    timings["score_cnn"] = time_jitted(score, dm)
+    score = lambda d: score_net.apply(sp, d.reshape(-1, 40, 40))
+    timings["score_cnn"] = timed(score, dm)
 
-    soft = jax.jit(lambda d: soft_inlier_scores(d, 10.0, 10.0))
-    timings["soft_inlier_score_xla"] = time_jitted(soft, dm)
+    soft = lambda d: soft_inlier_scores(d, 10.0, 10.0)
+    timings["soft_inlier_score_xla"] = timed(soft, dm)
 
-    ref1 = jax.jit(lambda p0R, p0t, c: refine_pose(
+    ref1 = lambda p0R, p0t, c: refine_pose(
         jax.tree.map(lambda x: x[0], sets.poses)._replace(R=p0R, t=p0t),
-        c, pixf, cam, steps=8))
-    timings["refine_one"] = time_jitted(ref1, sets.poses.R[0],
-                                        sets.poses.t[0], coords)
+        c, pixf, cam, steps=8)
+    timings["refine_one"] = timed(ref1, sets.poses.R[0],
+                                  sets.poses.t[0], coords, vary=2, reps=20)
 
-    refall = jax.jit(lambda R, t, c: jax.vmap(
+    try:
+        from dsac_tpu.ops.gn_pallas import refine_pose_fused
+        reff = lambda R, t, c: refine_pose_fused(
+            type(sets.poses)(R[:1], t[:1]), c, pixf, cam, steps=16,
+            interpret=jax.default_backend() != "tpu")
+        timings["refine_one_fused_pallas"] = timed(
+            reff, sets.poses.R, sets.poses.t, coords, vary=2, reps=20)
+    except Exception as e:
+        timings["fused_refine_error"] = str(e)[:120]
+
+    refall = lambda R, t, c: jax.vmap(
         lambda r_, t_: refine_pose(type(sets.poses)(r_, t_), c, pixf, cam,
-                                   steps=8))(R, t))
-    timings["refine_all_H"] = time_jitted(refall, sets.poses.R,
-                                          sets.poses.t, coords, iters=5)
+                                   steps=8))(R, t)
+    timings["refine_all_H"] = timed(refall, sets.poses.R,
+                                    sets.poses.t, coords, vary=2, reps=5,
+                                    iters=3)
 
     out = {k: (round(v * 1000, 3) if isinstance(v, float) else v)
            for k, v in timings.items()}
