@@ -200,7 +200,7 @@ def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
     import jax.numpy as jnp
     from dsac_tpu.utils.logging import blue
 
-    if args.arch == "dense":
+    if args.arch != "patch":
         coord_init = lambda: coord_net.init(
             jax.random.PRNGKey(1), jnp.asarray(sample.rgb)[None])
     else:

@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--fused-refine", action="store_true", default=None,
                    help="fused Pallas IRLS winner refinement (default on "
                         "TPU)")
+    p.add_argument("--verify-topk", type=int, default=0,
+                   help="refine the K best-scored hypotheses and serve "
+                        "the max-inlier-consensus one (robust to score "
+                        "misdraws on OOD frames; 0 = winner only)")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     if args.fused_refine is None:
@@ -83,7 +87,8 @@ def main(argv=None):
         coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
         score_fn=score_fn, cam=cam, cfg=cfg, refine_all=False,
         fused_refine=args.fused_refine,
-        fused_sampling=args.fused_refine)  # same backend gate
+        fused_sampling=args.fused_refine,  # same backend gate
+        verify_topk=args.verify_topk)
 
     @jax.jit
     def serve_queue(key, q_images):

@@ -62,7 +62,7 @@ def main(argv=None):
 
     opt = coord_pretrain_optimizer()
     start_update = 0
-    if args.arch == "dense":
+    if args.arch != "patch":
         sample = source.get(0)
         params = coord_net.init(jax.random.PRNGKey(args.seed),
                                 jnp.asarray(sample.rgb)[None])
@@ -135,7 +135,7 @@ def main(argv=None):
             inliers = jnp.sum((d < rt3d_m) * v_mask) / n
             return loss, inliers
 
-        if args.arch == "dense":
+        if args.arch != "patch":
             val_fn = _validate_dense
         else:
             from dsac_tpu.models.coord_net import extract_patches as _ep
@@ -172,7 +172,7 @@ def main(argv=None):
 
     # prestage the whole dense-mode frame pool on device once — per-update
     # host involvement is then one dispatch per --steps-per-call updates
-    if args.arch == "dense":
+    if args.arch != "patch":
         rgbs, gts, masks_ = [], [], []
         for i in range(len(source)):
             f = source.get(i)
@@ -213,7 +213,7 @@ def main(argv=None):
 
     update = start_update
     while update < args.updates:
-        if args.arch == "dense":
+        if args.arch != "patch":
             key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
             params, opt_state, losses = many_fn(params, opt_state, key,
                                                 images_d, gts_d, masks_d)

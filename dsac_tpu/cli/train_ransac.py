@@ -64,7 +64,7 @@ def main(argv=None, softam: bool = False):
         print(blue("Loaded obj_model_init."))
     except Exception:
         print(blue("No obj_model_init; initialising coordinate net."))
-        if args.arch == "dense":
+        if args.arch != "patch":
             coord_params = coord_net.init(jax.random.PRNGKey(1),
                                           jnp.asarray(sample.rgb)[None])
         else:

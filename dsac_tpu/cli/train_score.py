@@ -52,7 +52,7 @@ def main(argv=None):
     except Exception:
         print(blue("No obj_model_init found; using random coordinate net."))
         sample = source.get(0)
-        if args.arch == "dense":
+        if args.arch != "patch":
             coord_params = coord_net.init(jax.random.PRNGKey(1),
                                           jnp.asarray(sample.rgb)[None])
         else:

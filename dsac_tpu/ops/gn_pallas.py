@@ -168,16 +168,21 @@ def unpack_stats(stats: jnp.ndarray):
     return JtJ, Jtr, n_in
 
 
-def refine_pose_fused(poses: Pose, coords: jnp.ndarray, pix: jnp.ndarray,
-                      cam: Camera, steps: int = 16, threshold: float = 10.0,
-                      beta: float = 1.0, min_inliers: float = 50.0,
-                      damping: float = 1e-4, max_error: float = 100.0,
-                      interpret: bool = False) -> tuple[Pose, jnp.ndarray]:
-    """IRLS refinement of a whole hypothesis pool with the fused kernel.
+def refine_pose_fused_steps(poses: Pose, coords: jnp.ndarray,
+                            pix: jnp.ndarray, cam: Camera, steps: int = 16,
+                            threshold: float = 10.0, beta: float = 1.0,
+                            min_inliers: float = 50.0, damping: float = 1e-4,
+                            max_error: float = 100.0,
+                            interpret: bool = False
+                            ) -> tuple[Pose, jnp.ndarray]:
+    """IRLS refinement as a scan of per-step kernel launches.
 
     Equivalent fixed point to geometry/gn.py:refine_pose (weights
     recomputed every step; one GN solve per step — use ~2x the steps of
     the 2-inner-iteration jnp version).  Serve/eval path only (no VJP).
+    Superseded on TPU by the single-launch refine_pose_fused below (this
+    variant pays `steps` kernel launches + scan overhead); kept as the
+    cross-checkable reference for it.
     """
     cam_vec = jnp.asarray([cam.focal, cam.cx, cam.cy, max_error, threshold,
                            1.0 / beta], jnp.float32)
@@ -205,3 +210,233 @@ def refine_pose_fused(poses: Pose, coords: jnp.ndarray, pix: jnp.ndarray,
     (refined, _), counts = jax.lax.scan(step, (poses, alive0), None,
                                         length=steps)
     return refined, counts[-1]
+
+
+# ---------------------------------------------------------------------------
+# Single-launch variant: the WHOLE IRLS loop (steps x [stats -> Jacobi-
+# normalised damped 6x6 Cholesky solve -> Rodrigues pose update]) inside
+# one kernel.  The per-step launch + scan overhead of the variant above
+# (~0.15 ms x steps over the remote tunnel) disappears; pose state lives
+# in registers for the whole refinement.
+# ---------------------------------------------------------------------------
+
+_TRI = [(i, j) for i in range(6) for j in range(i, 6)]
+_TRI_IDX = {ij: k for k, ij in enumerate(_TRI)}
+
+
+def _mat_at(m, i, j):
+    """Upper-triangle stats list -> symmetric element."""
+    return m[_TRI_IDX[(i, j)]] if i <= j else m[_TRI_IDX[(j, i)]]
+
+
+def _refine_kernel(pose_ref, coords_ref, pix_ref, cam_ref, out_ref, *,
+                   steps: int, n_chunks: int, tn: int):
+    """Full IRLS refinement for one tile of TH hypotheses.
+
+    pose_ref: (TH, 12) [R row-major | t]; coords_ref: (4, Np) xyz+mask;
+    pix_ref: (2, Np); cam_ref: SMEM (8,) [f, cx, cy, max_err, tau,
+    1/beta, min_inliers, damping]; out_ref: (TH, 13) [R | t | n_in].
+    """
+    f = cam_ref[0]
+    cx = cam_ref[1]
+    cy = cam_ref[2]
+    max_err = cam_ref[3]
+    tau = cam_ref[4]
+    inv_beta = cam_ref[5]
+    min_inliers = cam_ref[6]
+    damping = cam_ref[7]
+
+    pose0 = pose_ref[:]  # (TH, 12)
+    # Mosaic requires a layout-uniform loop carry: a SINGLE (TH, 16) f32
+    # matrix [R row-major | t | alive | n_in | pad2], rebuilt by one
+    # concatenate per iteration.  (A pytree of per-column (TH, 1) slices
+    # keeps each slice's source lane offset and mixes i1/f32 vregs, which
+    # fails scf.for legalization on the real TPU backend.)
+    carry0 = jnp.concatenate(
+        [pose0, jnp.ones((pose0.shape[0], 1), pose0.dtype),
+         jnp.zeros((pose0.shape[0], 3), pose0.dtype)], axis=1)
+
+    def body(_, m):
+        R = [m[:, i:i + 1] for i in range(9)]
+        t = [m[:, 9 + i:10 + i] for i in range(3)]
+        alive = m[:, 12:13] > 0.5
+
+        acc = [jnp.zeros_like(R[0]) for _ in range(28)]
+        for c in range(n_chunks):
+            sl = slice(c * tn, (c + 1) * tn)
+            xs = coords_ref[0:1, sl]
+            ys = coords_ref[1:2, sl]
+            zs = coords_ref[2:3, sl]
+            mask = coords_ref[3:4, sl]
+
+            ax = R[0] * xs + R[1] * ys + R[2] * zs
+            ay = R[3] * xs + R[4] * ys + R[5] * zs
+            az = R[6] * xs + R[7] * ys + R[8] * zs
+            ex = ax + t[0]
+            ey = ay + t[1]
+            ez = az + t[2]
+            ez = jnp.where(jnp.abs(ez) < 1.0,
+                           jnp.where(ez > 0, 1.0, -1.0), ez)
+            inv_z = 1.0 / ez
+            fz = f * inv_z
+            u = -fz * ex + cx
+            v = fz * ey + cy
+            ru = pix_ref[0:1, sl] - u
+            rv = pix_ref[1:2, sl] - v
+            err = jnp.sqrt(ru * ru + rv * rv + 1e-8)
+            w = jax.nn.sigmoid((tau - jnp.minimum(err, max_err))
+                               * inv_beta) * mask
+
+            gx = fz * ex * inv_z
+            gy = fz * ey * inv_z
+            zero = jnp.zeros_like(ax)
+            ju = (gx * ay, -fz * az - gx * ax, fz * ay,
+                  jnp.broadcast_to(-fz, ax.shape), zero, gx)
+            jv = (-fz * az - gy * ay, gy * ax, fz * ax,
+                  zero, jnp.broadcast_to(fz, ax.shape), -gy)
+
+            k = 0
+            for i in range(6):
+                for j in range(i, 6):
+                    acc[k] += jnp.sum(w * (ju[i] * ju[j] + jv[i] * jv[j]),
+                                      axis=1, keepdims=True)
+                    k += 1
+            for i in range(6):
+                acc[21 + i] += jnp.sum(w * (ju[i] * ru + jv[i] * rv),
+                                       axis=1, keepdims=True)
+            acc[27] += jnp.sum(w, axis=1, keepdims=True)
+
+        n_in = acc[27]
+        alive = alive & (n_in >= min_inliers)
+
+        # Jacobi normalisation + damping, then unrolled 6x6 Cholesky —
+        # every scalar below is a (TH, 1) vector across hypotheses.
+        dn = [jax.lax.rsqrt(_mat_at(acc, i, i) + 1e-12) for i in range(6)]
+        A = {(i, j): dn[i] * dn[j] * _mat_at(acc, i, j)
+             + ((damping + 1e-6) if i == j else 0.0)
+             for i in range(6) for j in range(i, 6)}
+        b = [dn[i] * acc[21 + i] for i in range(6)]
+
+        L = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i + 1):
+                s = A[(j, i)]
+                for k2 in range(j):
+                    s = s - L[i][k2] * L[j][k2]
+                if i == j:
+                    L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+                else:
+                    L[i][j] = s / L[j][j]
+        y = [None] * 6
+        for i in range(6):
+            s = b[i]
+            for k2 in range(i):
+                s = s - L[i][k2] * y[k2]
+            y[i] = s / L[i][i]
+        x = [None] * 6
+        for i in reversed(range(6)):
+            s = y[i]
+            for k2 in range(i + 1, 6):
+                s = s - L[k2][i] * x[k2]
+            x[i] = s / L[i][i]
+
+        delta = [jnp.clip(dn[i] * x[i], -1e4, 1e4) for i in range(6)]
+        ok = alive
+        for d in delta:
+            ok = ok & (d == d) & (jnp.abs(d) < 1e30)
+        delta = [jnp.where(ok, d, 0.0) for d in delta]
+
+        # Rodrigues: R_new = exp(hat(w)) @ R (geometry/rotation.py:so3_exp)
+        wx, wy, wz = delta[0], delta[1], delta[2]
+        th2 = wx * wx + wy * wy + wz * wz
+        small = th2 < 1e-8
+        th = jnp.sqrt(jnp.where(small, 1.0, th2))
+        ca = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+        cb = jnp.where(small, 0.5 - th2 / 24.0,
+                       (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th2))
+        # dR = I + ca*W + cb*W^2, W = hat(w)
+        dR = [1.0 + cb * (-wz * wz - wy * wy),
+              -ca * wz + cb * wx * wy,
+              ca * wy + cb * wx * wz,
+              ca * wz + cb * wx * wy,
+              1.0 + cb * (-wz * wz - wx * wx),
+              -ca * wx + cb * wy * wz,
+              -ca * wy + cb * wx * wz,
+              ca * wx + cb * wy * wz,
+              1.0 + cb * (-wy * wy - wx * wx)]
+        newR = [dR[3 * i + 0] * R[0 + j] + dR[3 * i + 1] * R[3 + j]
+                + dR[3 * i + 2] * R[6 + j]
+                for i in range(3) for j in range(3)]
+        newt = [t[i] + delta[3 + i] for i in range(3)]
+        alive_f = jnp.where(alive, 1.0, 0.0)
+        return jnp.concatenate(
+            newR + newt + [alive_f, n_in, jnp.zeros_like(n_in),
+                           jnp.zeros_like(n_in)], axis=1)
+
+    m = jax.lax.fori_loop(0, steps, body, carry0)
+    out_ref[:, :12] = m[:, :12]
+    out_ref[:, 12:13] = m[:, 13:14]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "threshold", "beta",
+                                    "min_inliers", "damping", "max_error",
+                                    "interpret"))
+def refine_pose_fused(poses: Pose, coords: jnp.ndarray, pix: jnp.ndarray,
+                      cam: Camera, steps: int = 16, threshold: float = 10.0,
+                      beta: float = 1.0, min_inliers: float = 50.0,
+                      damping: float = 1e-4, max_error: float = 100.0,
+                      interpret: bool = False) -> tuple[Pose, jnp.ndarray]:
+    """Single-launch fused IRLS refinement of a hypothesis pool.
+
+    Same fixed point and guard semantics as refine_pose_fused_steps /
+    geometry/gn.py:refine_pose, but the entire `steps`-iteration loop —
+    statistics, Jacobi-normalised damped Cholesky solve, Rodrigues
+    update, min-inlier freeze — runs inside ONE Pallas launch per
+    hypothesis tile.  Serve/eval path only (no VJP).
+    """
+    H = poses.t.shape[0]
+    N = coords.shape[0]
+    tn = _TN
+    Hp = -(-H // _TH) * _TH
+    Np = -(-N // tn) * tn
+
+    pose12 = jnp.concatenate([poses.R.reshape(H, 9), poses.t], axis=-1)
+    pose12 = jnp.pad(pose12, ((0, Hp - H), (0, 0)))
+    # padded hypotheses get an identity-ish row; their updates are junk
+    # but masked off by the final slice
+    pose12 = pose12.at[H:, 0].set(1.0)
+
+    coords_m = jnp.concatenate([coords.T, jnp.ones((1, N), jnp.float32)],
+                               axis=0)
+    coords_m = jnp.pad(coords_m, ((0, 0), (0, Np - N)),
+                       constant_values=-1.0)
+    coords_m = coords_m.at[3, N:].set(0.0)  # mask off padding
+    pix_t = jnp.pad(pix.T, ((0, 0), (0, Np - N)))
+    cam8 = jnp.asarray([cam.focal, cam.cx, cam.cy, max_error, threshold,
+                        1.0 / beta, min_inliers, damping], jnp.float32)
+
+    kernel = functools.partial(_refine_kernel, steps=steps,
+                               n_chunks=Np // tn, tn=tn)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, 13), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(Hp // _TH,),
+            in_specs=[
+                pl.BlockSpec((_TH, 12), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, Np), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, Np), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((_TH, 13), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pose12, coords_m, pix_t, cam8)
+
+    out = out[:H]
+    return Pose(out[:, :9].reshape(H, 3, 3), out[:, 9:12]), out[:, 12]

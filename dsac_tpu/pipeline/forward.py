@@ -211,12 +211,17 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
                   refine_all: bool = True,
                   fused_refine: bool = False,
                   scoring: str = "cnn",
-                  fused_sampling: bool = False) -> FrameResult:
+                  fused_sampling: bool = False,
+                  verify_topk: int = 0) -> FrameResult:
     """DSAC forward pass for one frame (core/cnn.h:1028-1257).
 
     refine_all=True refines the whole pool (training needs every loss for
     the expectation, core/cnn.h:1154); False refines only the drawn winner
-    (the low-latency serve path).
+    (the low-latency serve path).  verify_topk=K (with refine_all=False)
+    refines the K best-scored hypotheses instead and serves the one with
+    the largest final soft-inlier consensus — robust to score-CNN
+    misdraws on out-of-distribution frames at ~one extra fused-refine
+    tile of cost.
 
     fused_refine selects the refinement/gradient mode — see
     make_refiners: False/"unroll" (autodiff through the scan),
@@ -265,6 +270,24 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     if refine_all:
         refined, n_in = refine_batch(sets.poses)
         final = _take_pose(refined, chosen)
+    elif verify_topk > 1:
+        # Verified serving: refine the top-K scored hypotheses and serve
+        # the one with the largest final soft-inlier consensus.  A single
+        # overconfident score-CNN output on an out-of-distribution frame
+        # cannot mis-serve the frame (cf. verified_selection, which needs
+        # refine_all); costs one K-pose fused refine instead of one.
+        k = min(int(verify_topk), scores.shape[0])
+        top_scores, top = jax.lax.top_k(scores, k)
+        pool_k = _take_pose(sets.poses, top)
+        refined_k, n_k = refine_batch(pool_k)
+        # bury candidates that were invalid to begin with
+        n_k = jnp.where(top_scores > -1e8, n_k, -1.0)
+        best = jnp.argmax(n_k)
+        final = _take_pose(refined_k, best)
+        chosen = top[best]
+        refined = Pose(sets.poses.R.at[top].set(refined_k.R),
+                       sets.poses.t.at[top].set(refined_k.t))
+        n_in = jnp.zeros(scores.shape).at[top].set(jnp.maximum(n_k, 0.0))
     else:
         final, n_chosen = refine_one(_take_pose(sets.poses, chosen))
         # Serve path: only the winner is refined.  Write it back into the
@@ -286,7 +309,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                            refine_all: bool = False,
                            fused_refine: bool = False,
                            scoring: str = "cnn",
-                           fused_sampling: bool = False) -> FrameResult:
+                           fused_sampling: bool = False,
+                           verify_topk: int = 0) -> FrameResult:
     """Batched serve path: vmap of process_frame over a frame batch.
 
     The production serving shape — batching frames keeps the coordinate
@@ -298,7 +322,8 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                                      refine_all=refine_all,
                                      fused_refine=fused_refine,
                                      scoring=scoring,
-                                     fused_sampling=fused_sampling)
+                                     fused_sampling=fused_sampling,
+                                     verify_topk=verify_topk)
     )(keys, images)
 
 

@@ -51,7 +51,7 @@ def main():
             res = process_frames_batched(
                 keys, images, coord_apply, None, cam, cfg,
                 refine_all=False, fused_refine=True,
-                scoring="fused_soft")
+                scoring="fused_soft", fused_sampling=True)
             return res.final.R, res.final.t
 
         keys = jax.random.split(jax.random.PRNGKey(3), B)

@@ -171,6 +171,17 @@ class TestCliSmoke:
         assert len(row) == 3
         assert 0.0 <= float(row[2]) <= 1.0
 
+    def test_train_obj_dense_s2d_smoke(self, tmp_path):
+        """The s2d-stem arch must take the DENSE pretrain/validation path
+        (a '== \"dense\"' comparison once routed it into the patch code)."""
+        self._run("dsac_tpu.cli.train_obj",
+                  ["--synthetic", "2", "--rounds", "3", "--width-mult",
+                   "0.125", "--arch", "dense_s2d",
+                   "--out", str(tmp_path / "out"),
+                   "--validate-every", "2", "--validate-frames", "1"],
+                  tmp_path)
+        assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
+
     def test_test_ransac_soft_inlier_smoke(self, tmp_path):
         res = self._run("dsac_tpu.cli.test_ransac",
                         ["--synthetic", "2", "--rounds", "2", "--model",

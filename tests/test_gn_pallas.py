@@ -81,3 +81,35 @@ class TestIrlsStats:
                                    atol=2.0)
         np.testing.assert_allclose(np.array(fused.R), np.array(ref.R),
                                    atol=1e-4)
+
+    def test_single_launch_matches_step_scan(self, rng):
+        """The single-launch kernel (whole IRLS loop in one pallas_call)
+        must reproduce the per-step-launch variant exactly: same stats
+        body, same Jacobi/Cholesky/Rodrigues math, same freeze guards."""
+        from dsac_tpu.geometry import invert, project, transform
+        from dsac_tpu.ops.gn_pallas import refine_pose_fused_steps
+
+        gt = Pose(so3_exp(jnp.asarray(rng.normal(size=3) * 0.4,
+                                      jnp.float32)),
+                  jnp.asarray([100.0, -60.0, -2300.0], jnp.float32))
+        eye = np.stack([rng.uniform(-1200, 1200, 700),
+                        rng.uniform(-900, 900, 700),
+                        -rng.uniform(1500, 3500, 700)], -1).astype(np.float32)
+        scene = transform(invert(gt), jnp.asarray(eye))
+        pix2 = project(Pose(jnp.eye(3), jnp.zeros(3)), jnp.asarray(eye), CAM)
+        scene = scene + jnp.asarray(rng.normal(size=(700, 3)) * 6,
+                                    jnp.float32)
+        pert = Pose(
+            jnp.stack([so3_exp(jnp.asarray(rng.normal(size=3) * 0.01,
+                                           jnp.float32)) @ gt.R
+                       for _ in range(5)]),
+            jnp.stack([gt.t + jnp.asarray(rng.normal(size=3) * 30,
+                                          jnp.float32) for _ in range(5)]))
+
+        a, n_a = refine_pose_fused_steps(pert, scene, pix2, CAM, steps=12,
+                                         interpret=True)
+        b, n_b = refine_pose_fused(pert, scene, pix2, CAM, steps=12,
+                                   interpret=True)
+        np.testing.assert_allclose(np.array(b.t), np.array(a.t), atol=1e-2)
+        np.testing.assert_allclose(np.array(b.R), np.array(a.R), atol=1e-5)
+        np.testing.assert_allclose(np.array(n_b), np.array(n_a), rtol=1e-4)

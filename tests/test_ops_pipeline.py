@@ -247,6 +247,34 @@ class TestFullPipeline:
         rot_err, t_err = pose_errors(sel.final, pose)
         assert float(rot_err) < 5.0 and float(t_err) < 50.0
 
+    def test_verify_topk_serve(self, frame_and_oracle):
+        """Top-K verified serving: a score head that inverts the ranking
+        (worst hypothesis scored highest) still serves a correct pose,
+        because the K refined candidates are re-ranked by final inlier
+        consensus.  K must include a good hypothesis, so use K close to
+        the pool size for the adversarial case."""
+        pose, rgb, fn = frame_and_oracle
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=64,
+                                         random_draw=False))
+
+        def bad_score_fn(dm):
+            return -self._score_fn(dm)
+
+        res = process_frame(jax.random.PRNGKey(8), rgb, fn, bad_score_fn,
+                            CAM, cfg, refine_all=False, verify_topk=64)
+        rot_err, t_err = pose_errors(res.final, pose)
+        assert float(rot_err) < 5.0 and float(t_err) < 50.0
+        # served pose is consistent with the writeback pool at `chosen`
+        np.testing.assert_allclose(
+            np.asarray(res.final.t),
+            np.asarray(res.refined.t)[int(res.chosen)])
+        # honest head + small K: still correct
+        res2 = process_frame(jax.random.PRNGKey(8), rgb, fn,
+                             self._score_fn, CAM, cfg, refine_all=False,
+                             verify_topk=4)
+        rot_err, t_err = pose_errors(res2.final, pose)
+        assert float(rot_err) < 5.0 and float(t_err) < 50.0
+
     def test_pipeline_jits(self, frame_and_oracle):
         pose, rgb, fn = frame_and_oracle
         cfg = DSACConfig(pose=PoseConfig(num_hypotheses=16))
