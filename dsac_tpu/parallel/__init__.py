@@ -19,4 +19,5 @@ with explicit collectives riding ICI.
 from dsac_tpu.parallel.mesh import make_mesh
 from dsac_tpu.parallel.sharded import (
     sharded_e2e_step, sharded_expected_loss, sharded_process_frame,
+    sharded_serve_frame, sharded_serve_step,
 )

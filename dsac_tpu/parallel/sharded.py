@@ -198,6 +198,122 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     return expected, aux
 
 
+def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
+                        coord_fn: Callable, score_fn: Callable,
+                        cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
+                        coord_collective: bool = False,
+                        verify_topk: int = 0):
+    """Per-device body (inside shard_map) for serving ONE frame.
+
+    The serve twin of sharded_process_frame: no ground truth, winner-only
+    refinement (or top-K verified selection, cf.
+    pipeline.forward.process_frame(verify_topk=K)).  Front end is
+    hypothesis-sharded exactly like training; the minimal-pose pool is
+    then all_gathered (H x 12 floats — trivial on ICI) so every shard
+    refines the same winner/top-K candidates in lockstep.  That trades a
+    K-pose redundant refine per shard for zero owner-masking collectives;
+    with SPMD lockstep the wall time is identical and the code is
+    branch-free.
+
+    Returns (final_pose, scores, probs, entropy, chosen).
+    """
+    from dsac_tpu.ops.select import draw_hypothesis, softmax_scores
+
+    pcfg = cfg.pose
+    H_local = pcfg.num_hypotheses // n_hyp_shards
+    grid = cfg.net.subsample_size
+    shard = jax.lax.axis_index(HYP_AXIS)
+    k_samp, k_hyp, k_draw = jax.random.split(key, 3)
+
+    sampling = stratified_sample(k_samp, cfg.data.image_width,
+                                 cfg.data.image_height, grid,
+                                 cfg.net.rgb_patch_size)
+    pix = sampling.reshape(-1, 2)
+    if coord_collective:
+        coords = coord_fn(image, pix) * 1000.0  # (N, 3) mm, replicated
+    else:
+        pix_local = _local_slice(pix, HYP_AXIS, n_hyp_shards)
+        coords_local = coord_fn(image, pix_local) * 1000.0
+        coords = jax.lax.all_gather(coords_local, HYP_AXIS, tiled=True)
+    pixf = pix.astype(jnp.float32)
+
+    import dataclasses
+    local_cfg = dataclasses.replace(pcfg, num_hypotheses=H_local)
+    k_local = jax.random.fold_in(k_hyp, shard)
+    sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg)
+    dm = diffmaps(sets.poses, coords, pixf, cam,
+                  pcfg.max_reprojection_error)
+    scores_local = score_fn(dm.reshape(H_local, grid, grid))
+    scores_local = jnp.where(sets.valid, scores_local, -1e9)
+
+    # global pool: scores + minimal poses (H x (9+3) floats)
+    scores = jax.lax.all_gather(scores_local, HYP_AXIS, tiled=True)
+    pool = Pose(jax.lax.all_gather(sets.poses.R, HYP_AXIS, tiled=True),
+                jax.lax.all_gather(sets.poses.t, HYP_AXIS, tiled=True))
+    probs = softmax_scores(scores)
+    ent = shannon_entropy(probs)
+    # k_draw is identical across the 'hyp' axis -> same draw on every shard
+    chosen = draw_hypothesis(k_draw, scores, pcfg.random_draw)
+
+    def refine_batchk(poses):
+        return jax.vmap(lambda p0: refine_pose(
+            p0, coords, pixf, cam, steps=pcfg.refinement_steps,
+            inner_iters=pcfg.gn_inner_steps,
+            threshold=pcfg.inlier_threshold_2d, beta=pcfg.inlier_beta,
+            min_inliers=pcfg.min_inliers, damping=pcfg.gn_damping,
+            max_error=pcfg.max_reprojection_error))(poses)
+
+    if verify_topk > 1:
+        k = min(int(verify_topk), pcfg.num_hypotheses)
+        top_scores, top = jax.lax.top_k(scores, k)
+        cand = Pose(pool.R[top], pool.t[top])
+        refined_k, n_k = refine_batchk(cand)
+        n_k = jnp.where(top_scores > -1e8, n_k, -1.0)
+        best = jnp.argmax(n_k)
+        final = Pose(refined_k.R[best], refined_k.t[best])
+        chosen = top[best]
+    else:
+        cand = Pose(pool.R[chosen][None], pool.t[chosen][None])
+        refined1, _ = refine_batchk(cand)
+        final = Pose(refined1.R[0], refined1.t[0])
+    return final, scores, probs, ent, chosen
+
+
+def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
+                       score_apply: Callable, cam: Camera, cfg: DSACConfig,
+                       coord_collective: bool = False,
+                       verify_topk: int = 0):
+    """Build the jitted multi-device serving step (inference twin of
+    sharded_e2e_step).
+
+    Returns serve(coord_params, score_params, keys, images) ->
+    (final_R (B,3,3), final_t (B,3), scores (B,H), entropy (B,),
+    chosen (B,)) with images/keys sharded over 'data' and the hypothesis
+    pool sharded over 'hyp'.  Parameters are replicated.
+    """
+    n_hyp = mesh.shape[HYP_AXIS]
+
+    def per_device(coord_params, score_params, keys, images):
+        def one(key, image):
+            final, scores, probs, ent, chosen = sharded_serve_frame(
+                key, image,
+                lambda img, pix: coord_apply(coord_params, img, pix),
+                lambda dm: score_apply(score_params, dm), cam, cfg, n_hyp,
+                coord_collective=coord_collective,
+                verify_topk=verify_topk)
+            return final.R, final.t, scores, ent, chosen
+
+        return jax.vmap(one)(keys, images)
+
+    rep = P()
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep, rep, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS),) * 5,
+        check_vma=False,
+    ))
+
+
 def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
                           images: jnp.ndarray, gt_poses: Pose,
                           coord_apply: Callable, score_apply: Callable,

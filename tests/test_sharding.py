@@ -149,6 +149,30 @@ class TestShardedPipeline:
         np.testing.assert_allclose(np.array(banded), np.array(full),
                                    atol=2e-2, rtol=1e-3)
 
+    @pytest.mark.parametrize("verify_topk", [0, 4])
+    def test_sharded_serve_localizes(self, verify_topk):
+        # the serving twin: hypothesis-sharded front end, all_gathered
+        # pose pool, winner-only (or top-K verified) refinement; must
+        # recover each frame's pose from the noisy oracle within 5cm/5deg
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.parallel import sharded_serve_step
+
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        cp = {"bias": jnp.zeros(3)}  # unbiased oracle
+        serve = sharded_serve_step(mesh, coord_apply, score_apply, CAM,
+                                   cfg, verify_topk=verify_topk)
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+        R, t, scores, ent, chosen = serve(cp, sp, keys, maps)
+        assert R.shape == (2, 3, 3) and t.shape == (2, 3)
+        assert scores.shape == (2, cfg.pose.num_hypotheses)
+        rot_err, t_err = pose_errors(Pose(R, t), gt)
+        assert np.all(np.asarray(rot_err) < 5.0), np.asarray(rot_err)
+        assert np.all(np.asarray(t_err) < 50.0), np.asarray(t_err)
+        # deterministic: same keys -> same served poses
+        R2, t2, *_ = serve(cp, sp, keys, maps)
+        np.testing.assert_array_equal(np.asarray(R), np.asarray(R2))
+
     def test_sharded_training_step_improves(self):
         mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
             self._build(2, 4, 2, H=32)
