@@ -37,7 +37,7 @@ TPU_V5E_BF16_PEAK = 197e12
 CPU_BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
 
-def build(on_tpu: bool):
+def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,7 @@ def build(on_tpu: bool):
     coord_net = DenseCoordNet()
     score_net = ScoreNet()
 
-    B = 8  # serve batch: keeps CNN matmuls large on the MXU
+    B = batch  # serve batch: keeps CNN matmuls large on the MXU
     frames, gt_R, gt_t = [], [], []
     for i in range(B):
         # novel viewpoints disjoint from the 512-view training keys
@@ -109,13 +109,15 @@ def build(on_tpu: bool):
         res = process_frames_batched(keys, imgs, coord_apply, score_apply,
                                      cam, cfg, refine_all=False,
                                      fused_refine=on_tpu,
-                                     fused_sampling=on_tpu)
+                                     fused_sampling=on_tpu,
+                                     verify_topk=verify_topk)
         return res.final.R, res.final.t
 
     return serve_batch, images, (gt_R, gt_t), trained, B
 
 
-def measure(on_tpu: bool, queue: int = 8):
+def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
+            verify_topk: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -123,7 +125,8 @@ def measure(on_tpu: bool, queue: int = 8):
     from dsac_tpu.geometry.loss import pose_errors
     from dsac_tpu.geometry.pose import Pose
 
-    serve_batch, images, (gt_R, gt_t), trained, B = build(on_tpu)
+    serve_batch, images, (gt_R, gt_t), trained, B = build(on_tpu, batch,
+                                                          verify_topk)
 
     # one fused dispatch serves `queue` batches: scan over a staged
     # frame queue so the per-dispatch tunnel latency (~25 ms here)
@@ -200,7 +203,13 @@ def main():
         baseline = BASELINE_RELOC_PER_S_GUESS
         baseline_src = "literature_estimate"
 
-    r = measure(on_tpu=on_tpu)
+    def argval(flag, default):
+        return (int(sys.argv[sys.argv.index(flag) + 1])
+                if flag in sys.argv else default)
+
+    r = measure(on_tpu=on_tpu, queue=argval("--queue", 8),
+                batch=argval("--batch", 8),
+                verify_topk=argval("--verify-topk", 0))
     print(json.dumps({
         "metric": "relocalizations_per_s_per_chip",
         "value": round(r["reloc_per_s"], 2),
