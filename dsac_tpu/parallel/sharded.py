@@ -29,13 +29,38 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dsac_tpu.config import Camera, DSACConfig
-from dsac_tpu.geometry.gn import refine_pose
 from dsac_tpu.geometry.loss import max_loss
 from dsac_tpu.geometry.pose import Pose
 from dsac_tpu.ops.diffmap import diffmaps
 from dsac_tpu.ops.sampling import sample_minimal_sets, stratified_sample
 from dsac_tpu.ops.select import shannon_entropy
 from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
+from dsac_tpu.pipeline.forward import make_refiners
+
+
+def _auto_serve_modes(fused_sampling, refine_mode):
+    """Resolve 'auto'/None serve-path kernel modes by backend.
+
+    On TPU the sharded paths default to the SAME fast kernels as the
+    single-chip serve (fused SoA P3P sampling + single-launch IRLS
+    refinement) so multi-chip deployment is never a per-chip regression;
+    elsewhere they default to the jnp paths (the CPU farm runs Pallas
+    only interpreted, which tests use explicitly).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if fused_sampling is None:
+        fused_sampling = on_tpu
+    if refine_mode in (None, "auto"):
+        refine_mode = "fused" if on_tpu else False
+    return fused_sampling, refine_mode
+
+
+def _auto_train_mode(refine_mode):
+    """'auto' training refine mode: implicit-function gradients over the
+    fused Pallas forward on TPU, unrolled autodiff elsewhere."""
+    if refine_mode in (None, "auto"):
+        return "implicit" if jax.default_backend() == "tpu" else False
+    return refine_mode
 
 
 def _local_slice(x: jnp.ndarray, axis_name: str, n_shards: int,
@@ -115,7 +140,8 @@ def banded_dense_coords(apply_full: Callable, image: jnp.ndarray,
 def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
                           coord_fn: Callable, score_fn: Callable,
                           cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
-                          gt_pose: Pose, coord_collective: bool = False):
+                          gt_pose: Pose, coord_collective: bool = False,
+                          refine_mode=False):
     """Per-device body (inside shard_map) for ONE frame.
 
     Returns (expected_loss, aux) where expected_loss is the full-pool
@@ -129,6 +155,12 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     coord_collective=True: coord_fn(image, pix) performs its own
     collectives (e.g. banded_dense_coords) and returns ALL N coordinates
     replicated — the right mode for the dense FCN.
+
+    refine_mode selects the per-shard refinement/gradient realisation
+    (pipeline.forward.make_refiners): False/"unroll" autodiffs the IRLS
+    scan; "implicit" runs the fused Pallas forward with implicit-function
+    gradients (the fast multi-chip TRAINING mode — same semantics as the
+    single-chip e2e_step's); "implicit_jnp" is its CPU-testable twin.
     """
     pcfg = cfg.pose
     H_local = pcfg.num_hypotheses // n_hyp_shards
@@ -166,13 +198,10 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     probs = jax.nn.softmax(scores)
     probs_local = _local_slice(probs, HYP_AXIS, n_hyp_shards)
 
-    # --- refinement of the local shard ---
-    refined_local, n_in = jax.vmap(lambda p0: refine_pose(
-        p0, coords, pixf, cam, steps=pcfg.refinement_steps,
-        inner_iters=pcfg.gn_inner_steps, threshold=pcfg.inlier_threshold_2d,
-        beta=pcfg.inlier_beta, min_inliers=pcfg.min_inliers,
-        damping=pcfg.gn_damping,
-        max_error=pcfg.max_reprojection_error))(sets.poses)
+    # --- refinement of the local shard (core/cnn.h:1168-1230, the
+    # OpenMP axis being scaled; kernel/gradient mode per make_refiners) ---
+    refine_batch, _ = make_refiners(coords, pixf, cam, pcfg, refine_mode)
+    refined_local, n_in = refine_batch(sets.poses)
 
     losses_local = max_loss(refined_local, gt_pose)  # (H_local,)
     skip = probs_local < 1e-4  # variance control (train_ransac.cpp:319)
@@ -202,7 +231,9 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
                         coord_fn: Callable, score_fn: Callable,
                         cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
                         coord_collective: bool = False,
-                        verify_topk: int = 0):
+                        verify_topk: int = 0,
+                        fused_sampling: bool = False,
+                        refine_mode=False):
     """Per-device body (inside shard_map) for serving ONE frame.
 
     The serve twin of sharded_process_frame: no ground truth, winner-only
@@ -214,6 +245,11 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     K-pose redundant refine per shard for zero owner-masking collectives;
     with SPMD lockstep the wall time is identical and the code is
     branch-free.
+
+    fused_sampling/refine_mode select the same fast serve kernels as the
+    single-chip path (ops/p3p_pallas.py SoA sampler; make_refiners
+    "fused" = single-launch Pallas IRLS) — the per-chip speed must not
+    regress when the pool is sharded.
 
     Returns (final_pose, scores, probs, entropy, chosen).
     """
@@ -240,7 +276,8 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     import dataclasses
     local_cfg = dataclasses.replace(pcfg, num_hypotheses=H_local)
     k_local = jax.random.fold_in(k_hyp, shard)
-    sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg)
+    sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg,
+                               fused=fused_sampling)
     dm = diffmaps(sets.poses, coords, pixf, cam,
                   pcfg.max_reprojection_error)
     scores_local = score_fn(dm.reshape(H_local, grid, grid))
@@ -255,13 +292,7 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     # k_draw is identical across the 'hyp' axis -> same draw on every shard
     chosen = draw_hypothesis(k_draw, scores, pcfg.random_draw)
 
-    def refine_batchk(poses):
-        return jax.vmap(lambda p0: refine_pose(
-            p0, coords, pixf, cam, steps=pcfg.refinement_steps,
-            inner_iters=pcfg.gn_inner_steps,
-            threshold=pcfg.inlier_threshold_2d, beta=pcfg.inlier_beta,
-            min_inliers=pcfg.min_inliers, damping=pcfg.gn_damping,
-            max_error=pcfg.max_reprojection_error))(poses)
+    refine_batchk, _ = make_refiners(coords, pixf, cam, pcfg, refine_mode)
 
     if verify_topk > 1:
         k = min(int(verify_topk), pcfg.num_hypotheses)
@@ -282,7 +313,9 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
 def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                        score_apply: Callable, cam: Camera, cfg: DSACConfig,
                        coord_collective: bool = False,
-                       verify_topk: int = 0):
+                       verify_topk: int = 0,
+                       fused_sampling: bool | None = None,
+                       refine_mode="auto"):
     """Build the jitted multi-device serving step (inference twin of
     sharded_e2e_step).
 
@@ -290,8 +323,14 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
     (final_R (B,3,3), final_t (B,3), scores (B,H), entropy (B,),
     chosen (B,)) with images/keys sharded over 'data' and the hypothesis
     pool sharded over 'hyp'.  Parameters are replicated.
+
+    fused_sampling/refine_mode default to the backend's fast kernels
+    ("auto": fused SoA P3P + single-launch Pallas IRLS on TPU, jnp
+    elsewhere) so per-chip serve speed matches the single-chip program.
     """
     n_hyp = mesh.shape[HYP_AXIS]
+    fused_sampling, refine_mode = _auto_serve_modes(fused_sampling,
+                                                    refine_mode)
 
     def per_device(coord_params, score_params, keys, images):
         def one(key, image):
@@ -300,7 +339,9 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                 lambda img, pix: coord_apply(coord_params, img, pix),
                 lambda dm: score_apply(score_params, dm), cam, cfg, n_hyp,
                 coord_collective=coord_collective,
-                verify_topk=verify_topk)
+                verify_topk=verify_topk,
+                fused_sampling=fused_sampling,
+                refine_mode=refine_mode)
             return final.R, final.t, scores, ent, chosen
 
         return jax.vmap(one)(keys, images)
@@ -318,7 +359,8 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
                           images: jnp.ndarray, gt_poses: Pose,
                           coord_apply: Callable, score_apply: Callable,
                           cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
-                          coord_collective: bool = False):
+                          coord_collective: bool = False,
+                          refine_mode=False):
     """Mean expected loss over this device's local frame batch.
 
     Per-device body: vmaps sharded_process_frame over the local frames and
@@ -333,7 +375,8 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
             key, image, coord_fn_factory(image),
             lambda dm: score_apply(score_params, dm), cam, cfg,
             n_hyp_shards, Pose(gt_R, gt_t),
-            coord_collective=coord_collective)
+            coord_collective=coord_collective,
+            refine_mode=refine_mode)
 
     losses, aux = jax.vmap(one_frame)(keys, images, gt_poses.R, gt_poses.t)
     local_mean = jnp.mean(losses)
@@ -345,7 +388,8 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
 
 def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
                      score_apply: Callable, cam: Camera, cfg: DSACConfig,
-                     coord_opt, score_opt, coord_collective: bool = False):
+                     coord_opt, score_opt, coord_collective: bool = False,
+                     refine_mode="auto"):
     """Build the jitted multi-device end-to-end training step.
 
     Returns step(state_tuple, keys, images, gt_R, gt_t) where
@@ -354,8 +398,14 @@ def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
     are per-frame (B, 2) uint32.  Parameters are replicated; gradient
     psums over both axes are inserted by shard_map's grad transpose plus
     an explicit psum for the replicated-parameter sum.
+
+    refine_mode "auto" = implicit-function gradients over the fused
+    Pallas forward on TPU (the fast single-chip training mode carried to
+    the mesh), unrolled autodiff elsewhere; any make_refiners mode is
+    accepted ("implicit_jnp" is the CPU-farm gradient twin).
     """
     n_hyp = mesh.shape[HYP_AXIS]
+    refine_mode = _auto_train_mode(refine_mode)
 
     def per_device(coord_params, score_params, c_opt_state, s_opt_state,
                    keys, images, gt_R, gt_t):
@@ -363,7 +413,8 @@ def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
             return sharded_expected_loss(cp, sp, keys, images,
                                          Pose(gt_R, gt_t), coord_apply,
                                          score_apply, cam, cfg, n_hyp,
-                                         coord_collective=coord_collective)
+                                         coord_collective=coord_collective,
+                                         refine_mode=refine_mode)
 
         (loss, aux), (g_c, g_s) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(coord_params,

@@ -149,13 +149,15 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
     def fused_refine_fp(pool, c=None):
         from dsac_tpu.ops.gn_pallas import refine_pose_fused
         # one GN solve per IRLS step -> use inner*outer steps to reach
-        # the same fixed point as the jnp nest
+        # the same fixed point as the jnp nest; off-TPU the kernel runs
+        # interpreted so "fused"/"implicit" stay CPU-farm-testable
         return refine_pose_fused(
             pool, coords if c is None else c, pixf, cam,
             steps=total_steps,
             threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
             min_inliers=p.min_inliers, damping=p.gn_damping,
-            max_error=p.max_reprojection_error)
+            max_error=p.max_reprojection_error,
+            interpret=jax.default_backend() != "tpu")
 
     def implicit_batch(pool, fixed_point_fn):
         # Sever every gradient path INTO the fixed-point solver (the

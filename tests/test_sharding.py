@@ -173,6 +173,49 @@ class TestShardedPipeline:
         R2, t2, *_ = serve(cp, sp, keys, maps)
         np.testing.assert_array_equal(np.asarray(R), np.asarray(R2))
 
+    def test_sharded_serve_fused_kernels_localize(self):
+        # the TPU production serve configuration — fused SoA P3P sampling
+        # + single-launch Pallas IRLS refinement — exercised through the
+        # sharded path (kernels run interpreted on the CPU farm); must
+        # localize like the jnp path does
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.parallel import sharded_serve_step
+
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        cp = {"bias": jnp.zeros(3)}
+        serve = sharded_serve_step(mesh, coord_apply, score_apply, CAM,
+                                   cfg, verify_topk=4,
+                                   fused_sampling=True,
+                                   refine_mode="fused")
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+        R, t, scores, ent, chosen = serve(cp, sp, keys, maps)
+        rot_err, t_err = pose_errors(Pose(R, t), gt)
+        assert np.all(np.asarray(rot_err) < 5.0), np.asarray(rot_err)
+        assert np.all(np.asarray(t_err) < 50.0), np.asarray(t_err)
+
+    def test_sharded_training_step_implicit_gradients(self):
+        # the fast multi-chip training mode: fixed-point forward under
+        # stop_gradient + one differentiable GN step (implicit-function
+        # theorem), jnp twin on the CPU farm; must still learn the bias
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        c_opt = optax.adam(15.0)
+        s_opt = optax.sgd(1e-7, momentum=0.9)
+        step = sharded_e2e_step(mesh, coord_apply, score_apply, CAM, cfg,
+                                c_opt, s_opt, refine_mode="implicit_jnp")
+        c_state = c_opt.init(cp)
+        s_state = s_opt.init(sp)
+        losses = []
+        for i in range(10):
+            keys = jax.random.split(jax.random.PRNGKey(100 + i), 2)
+            cp, sp, c_state, s_state, loss, aux = step(
+                cp, sp, c_state, s_state, keys, maps, gt.R, gt.t)
+            losses.append(float(loss))
+        assert np.all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert float(jnp.linalg.norm(cp["bias"])) < 100.0
+
     def test_sharded_training_step_improves(self):
         mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
             self._build(2, 4, 2, H=32)
