@@ -135,7 +135,46 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--rounds", type=int, default=None,
                    help="override training rounds / eval frame count")
     p.add_argument("--seed", type=int, default=1305)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="run multi-chip: DxH device mesh ('2x4' = 2-way "
+                        "frame data-parallel x 4-way hypothesis/spatial "
+                        "sharding), or 'auto' (all devices on the hyp "
+                        "axis); omit for the single-chip path")
     return p
+
+
+def parse_mesh(spec: str | None):
+    """--mesh value -> jax.sharding.Mesh (None passes through)."""
+    from dsac_tpu.parallel import make_mesh
+    if not spec:
+        return None
+    if spec == "auto":
+        return make_mesh(1, len(jax.devices()))
+    try:
+        d, h = spec.lower().split("x")
+        return make_mesh(int(d), int(h))
+    except ValueError as e:
+        raise SystemExit(f"--mesh must be DxH or 'auto', got {spec!r}: {e}")
+
+
+def mesh_coord_apply(args, coord_net, coord_apply, n_hyp: int):
+    """(coord_apply, coord_collective) for a hyp-sharded mesh program.
+
+    Dense archs shard the FCN spatially over 'hyp' via ppermute halo
+    exchange (each shard computes its row band, all_gathered); the patch
+    arch keeps the plain (image, pix_slice) -> coords closure, which the
+    sharded body calls on a 1/n pixel slice and all_gathers.
+    """
+    if args.arch == "patch":
+        return coord_apply, False
+    from dsac_tpu.parallel.sharded import banded_dense_coords
+
+    def apply_banded(params, image, pix):
+        apply_full = lambda img: coord_net.apply(params, img[None])[0]
+        cmap = banded_dense_coords(apply_full, image, n_shards=n_hyp)
+        return gather_dense_coords(cmap, pix, stride=8)
+
+    return apply_banded, True
 
 
 def parse_with_flags(parser: argparse.ArgumentParser, argv=None):

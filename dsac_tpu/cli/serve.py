@@ -32,6 +32,94 @@ from dsac_tpu.utils.logging import blue, green
 from dsac_tpu.cli import common
 
 
+def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
+                score_params, score_apply, use_score_net, images, frames,
+                have_gt):
+    """--mesh DxH serving: hyp-sharded SPMD over a device mesh.
+
+    Frames shard over 'data', the hypothesis pool (and, for dense archs,
+    the FCN's rows via ppermute halo exchange) over 'hyp'; the fast serve
+    kernels (fused SoA P3P + single-launch IRLS) run per shard exactly as
+    in the single-chip program (parallel/sharded.py).  The queue is
+    dispatched pipelined (non-blocking) so per-dispatch tunnel latency
+    overlaps device compute.
+    """
+    from dsac_tpu.parallel import sharded_serve_step
+    from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
+    from dsac_tpu.cli.common import mesh_coord_apply, parse_mesh
+
+    mesh = parse_mesh(args.mesh)
+    n_data, n_hyp = mesh.shape[DATA_AXIS], mesh.shape[HYP_AXIS]
+    B, Q = args.batch, args.queue
+    if B % n_data:
+        raise SystemExit(f"--batch {B} not divisible by data axis {n_data}")
+    if cfg.pose.num_hypotheses % n_hyp:
+        raise SystemExit(f"-rI {cfg.pose.num_hypotheses} not divisible "
+                         f"by hyp axis {n_hyp}")
+
+    capply, coord_collective = mesh_coord_apply(args, coord_net,
+                                                coord_apply, n_hyp)
+    if use_score_net:
+        sapply = score_apply
+    else:
+        from dsac_tpu.ops.diffmap import soft_inlier_scores
+        sapply = lambda params, dm: soft_inlier_scores(
+            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
+            cfg.pose.score_beta)
+        score_params = {}
+
+    refine_mode = ("auto" if args.fused_refine is None
+                   else "fused" if args.fused_refine else False)
+    serve = sharded_serve_step(mesh, capply, sapply, cam, cfg,
+                               coord_collective=coord_collective,
+                               verify_topk=args.verify_topk,
+                               fused_sampling=args.fused_refine,
+                               refine_mode=refine_mode)
+
+    keys = jnp.stack([
+        jax.random.split(jax.random.PRNGKey(args.seed + q), B)
+        for q in range(Q)])  # (Q, B, 2)
+    print(blue(f"Serving {B * Q} staged frames over mesh "
+               f"{dict(mesh.shape)}, queue {Q} x batch {B} ..."))
+    out = serve(coord_params, score_params, keys[0], images[0])  # compile
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    outs = []
+    for r in range(args.reps):  # pipelined: block once at the end
+        for q in range(Q):
+            outs.append(serve(coord_params, score_params, keys[q],
+                              images[q]))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    reloc_per_s = args.reps * Q * B / dt
+
+    last = outs[-Q:]
+    R = np.concatenate([np.asarray(o[0]) for o in last])  # (Q*B, 3, 3)
+    t = np.concatenate([np.asarray(o[1]) for o in last])
+
+    acc = None
+    if have_gt:
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.geometry.pose import Pose
+        gt_R = jnp.asarray(np.stack([np.asarray(f.pose.R) for f in frames]))
+        gt_t = jnp.asarray(np.stack([np.asarray(f.pose.t) for f in frames]))
+        rot_err, t_err = pose_errors(Pose(jnp.asarray(R), jnp.asarray(t)),
+                                     Pose(gt_R, gt_t))
+        acc = float(np.mean(np.asarray((rot_err < 5.0) & (t_err < 50.0))))
+
+    print(json.dumps({
+        "metric": "serve_relocalizations_per_s",
+        "value": round(reloc_per_s, 2),
+        "unit": f"frames/s (H={cfg.pose.num_hypotheses}, "
+                f"mesh {dict(mesh.shape)}, queue {Q} x batch {B})",
+        "accuracy_5cm5deg": acc,
+        "backend": jax.default_backend(),
+        "mesh": args.mesh,
+    }))
+    return reloc_per_s
+
+
 def main(argv=None):
     p = common.make_parser(__doc__)
     p.add_argument("--model", choices=["endtoend", "init", "none"],
@@ -81,6 +169,11 @@ def main(argv=None):
     images = jnp.asarray(np.stack([f.rgb for f in frames])
                          .reshape(Q, B, *frames[0].rgb.shape))
     have_gt = all(f.pose is not None for f in frames)
+
+    if args.mesh:
+        return _serve_mesh(args, cfg, cam, coord_net, coord_apply,
+                           coord_params, score_params, score_apply,
+                           use_score_net, images, frames, have_gt)
 
     serve_batch = functools.partial(
         process_frames_batched,

@@ -172,6 +172,64 @@ def main(argv=None, softam: bool = False):
 
     print(blue(f"End-to-end training ({tag}) for "
                f"{args.training_rounds} rounds."))
+
+    if args.mesh:
+        # --- multi-chip SPMD training (--mesh DxH): frames data-parallel
+        # over 'data', the hypothesis pool (and, for dense archs, the
+        # FCN rows via halo exchange) sharded over 'hyp'.  One mesh step
+        # trains n_data frames jointly — the data-parallel generalisation
+        # of the reference's one-frame round (train_ransac.cpp:241). ---
+        if args.softam:
+            raise SystemExit("--mesh currently supports the DSAC "
+                             "objective; run softam single-chip")
+        from dsac_tpu.parallel import sharded_e2e_step
+        from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
+        from dsac_tpu.pipeline.train import e2e_optimizers
+
+        mesh = common.parse_mesh(args.mesh)
+        n_data, n_hyp = mesh.shape[DATA_AXIS], mesh.shape[HYP_AXIS]
+        if cfg.pose.num_hypotheses % n_hyp:
+            raise SystemExit(f"-rI {cfg.pose.num_hypotheses} not divisible"
+                             f" by hyp axis {n_hyp}")
+        capply, coord_collective = common.mesh_coord_apply(
+            args, coord_net, coord_apply, n_hyp)
+        c_opt, s_opt = e2e_optimizers()
+        step = sharded_e2e_step(mesh, capply, score_apply, cam, cfg,
+                                c_opt, s_opt,
+                                coord_collective=coord_collective,
+                                refine_mode=refine_mode)
+        images = jnp.asarray(
+            np.stack([source.get(i).rgb for i in range(len(source))]))
+        gt_R = jnp.asarray(np.stack(
+            [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
+        gt_t = jnp.asarray(np.stack(
+            [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
+        print(blue(f"Mesh {dict(mesh.shape)}: {n_data} frames/step, "
+                   f"H {cfg.pose.num_hypotheses} over {n_hyp} shards."))
+        rnd = start_round
+        while rnd < args.training_rounds:
+            idx = jnp.asarray(rng.integers(len(source), size=n_data),
+                              jnp.int32)
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(2 ** 31))), n_data)
+            cp, sp, c_state, s_state, loss, aux = step(
+                state.coord_params, state.score_params, state.coord_opt,
+                state.score_opt, keys, images[idx], gt_R[idx], gt_t[idx])
+            state = state._replace(
+                coord_params=cp, score_params=sp, coord_opt=c_state,
+                score_opt=s_state, step=state.step + 1)
+            log.append(rnd, float(loss), {
+                "entropy": float(aux["entropy"]),
+                "valid": float(aux["valid_hyps"])})
+            rnd += n_data
+            if (rnd // n_data) % 10 == 0:
+                print(f"round {rnd - 1}: E[loss] {float(loss):.3f} "
+                      f"entropy {float(aux['entropy']):.2f} "
+                      f"valid {int(aux['valid_hyps'])}")
+            maybe_validate_snapshot(rnd - 1, state)
+        print(green("End-to-end training complete."))
+        return state
+
     spc = max(1, args.steps_per_call)
     if spc > 1:
         # fused mode: stage the whole frame pool on device once, then

@@ -258,3 +258,47 @@ class TestCliSmoke:
         assert rec["metric"] == "serve_relocalizations_per_s"
         assert rec["value"] > 0
         assert len(list((tmp_path / "poses").glob("*.pose.txt"))) == 2
+
+    def _run_mesh(self, module, extra, tmp_path):
+        """CLI run on the 8-device CPU farm (for --mesh programs)."""
+        env = self._env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        cmd = [sys.executable, "-c",
+               "import jax; jax.config.update('jax_platforms','cpu');"
+               f"import runpy; import sys; sys.argv=['x'] + {extra!r};"
+               f"runpy.run_module('{module}', run_name='__main__')"]
+        res = subprocess.run(cmd, env=env, capture_output=True,
+                             text=True, timeout=500, cwd=str(tmp_path))
+        assert res.returncode == 0, res.stderr[-3000:]
+        return res
+
+    def test_serve_cli_mesh_smoke(self, tmp_path):
+        # the multi-chip serving PROGRAM: --mesh DxH routes through
+        # sharded_serve_step (frames over 'data', hypothesis pool +
+        # dense-FCN rows over 'hyp')
+        res = self._run_mesh("dsac_tpu.cli.serve",
+                             ["--synthetic", "2", "--model", "none",
+                              "--width-mult", "0.125", "--batch", "2",
+                              "--queue", "2", "--reps", "1", "-rI", "16",
+                              "--mesh", "2x4"], tmp_path)
+        line = [l for l in res.stdout.splitlines()
+                if l.startswith("{")][-1]
+        import json as _json
+        rec = _json.loads(line)
+        assert rec["metric"] == "serve_relocalizations_per_s"
+        assert rec["value"] > 0
+        assert rec["mesh"] == "2x4"
+
+    def test_train_ransac_cli_mesh_smoke(self, tmp_path):
+        # the multi-chip training PROGRAM: --mesh DxH routes through
+        # sharded_e2e_step; snapshots restore-compatible with the
+        # single-chip programs
+        self._run_mesh("dsac_tpu.cli.train_ransac",
+                       ["--synthetic", "2", "--rounds", "4",
+                        "--width-mult", "0.125", "-rI", "16",
+                        "--mesh", "2x4",
+                        "--out", str(tmp_path / "out")], tmp_path)
+        assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_E2E) is not None
+        loss = (tmp_path / "out" /
+                "ransac_training_loss_e2e.txt").read_text()
+        assert len(loss.splitlines()) == 2  # 4 rounds / 2 frames-per-step
