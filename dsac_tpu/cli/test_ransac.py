@@ -75,7 +75,8 @@ def main(argv=None, softam: bool = False):
             cfg.pose.score_beta)
 
     fwd = process_frame_softam if args.softam else process_frame
-    extra = {} if args.softam else {"fused_refine": args.fused_refine}
+    extra = ({"refine_mode": "fused" if args.fused_refine else False}
+             if args.softam else {"fused_refine": args.fused_refine})
     if not args.softam and args.fused_scoring:
         extra["scoring"] = "fused_soft"
     if not args.softam and args.refine_variant == "hard":

@@ -85,8 +85,7 @@ def main(argv=None, softam: bool = False):
         refine_mode = ("implicit"
                        if jax.devices()[0].platform == "tpu" else "unroll")
     refine_mode = False if refine_mode == "unroll" else refine_mode
-    if not args.softam:
-        print(blue(f"Refinement gradient mode: {refine_mode or 'unroll'}"))
+    print(blue(f"Refinement gradient mode: {refine_mode or 'unroll'}"))
 
     state = make_e2e_state(coord_params, score_params)
 

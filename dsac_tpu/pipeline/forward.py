@@ -107,7 +107,7 @@ def _take_pose(p: Pose, idx: jnp.ndarray) -> Pose:
 
 
 def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
-                  p, mode):
+                  p, mode, inject_init: bool = False):
     """(refine_batch, refine_one) closures for a refinement `mode`.
 
     mode selects how the reference's refinement loop + dRefine gradient
@@ -132,6 +132,16 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
                           with the rB=100 inlier cap and <50 abort
                           (geometry/gn.py:refine_pose_hard).  Eval-only
                           ablation mode (core/cnn.h:1186-1204).
+
+    inject_init (implicit modes only) adds the INITIAL pose's truncated-
+    iteration sensitivity — d(refined)/d(init) of the jnp IRLS unroll
+    with the coordinates frozen — as a zero-valued straight-through term
+    on top of the implicit-function coordinate gradient.  SoftAM needs
+    this: its score-CNN gradient flows ONLY through the averaged initial
+    pose (cnn_softam.h:738-923's dRefineHyp), and the exact implicit
+    derivative w.r.t. the init is zero (a converged fixed point forgets
+    its initialisation).  Costs one extra differentiated refine of the
+    (single) input pose.
     """
     from dsac_tpu.geometry.gn import implicit_refine_step, refine_pose_hard
 
@@ -173,6 +183,14 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
             refined, obj, pixf, cam,
             threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
             damping=p.gn_damping, max_error=p.max_reprojection_error)
+        if inject_init:
+            # init-pose path (dRefineHyp): differentiate the jnp unroll
+            # from `pool` with coords frozen; the term's VALUE is zero so
+            # the forward stays the fused fixed point
+            short, _ = jnp_refine(pool, jax.lax.stop_gradient(coords))
+            stepped = Pose(
+                stepped.R + short.R - jax.lax.stop_gradient(short.R),
+                stepped.t + short.t - jax.lax.stop_gradient(short.t))
         # dead hypotheses (aborted refinement) keep the frozen pose and
         # a zero pose-path gradient, like the reference's NaN/inlier
         # aborts zeroing dRefine (core/cnn.h:1203, :1214)
@@ -331,12 +349,19 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
 
 def process_frame_softam(key: jax.Array, image: jnp.ndarray,
                          coord_fn: CoordFn, score_fn: ScoreFn, cam: Camera,
-                         cfg: DSACConfig) -> FrameResult:
+                         cfg: DSACConfig,
+                         refine_mode=False) -> FrameResult:
     """Soft-argmax forward pass (core/cnn_softam.h:960-1180).
 
     The softmax weights average the hypothesis pool directly — a linear
     combination of (rodrigues, t) 6-vectors (core/cnn_softam.h:1082-1094)
     — and only the averaged pose is refined (…:1099-1154).
+
+    refine_mode selects the refinement realisation (make_refiners):
+    "fused" is the fast eval path; "implicit"/"implicit_jnp" are the fast
+    TRAINING modes, with init-injection so the score CNN's gradient path
+    through the averaged pose (dRefineHyp, cnn_softam.h:738-923) stays
+    alive.
     """
     k_front, _ = jax.random.split(key)
     sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
@@ -352,11 +377,9 @@ def process_frame_softam(key: jax.Array, image: jnp.ndarray,
     avg = pose_from_vec6(jnp.sum(probs[:, None] * vecs, axis=0))
 
     p = cfg.pose
-    final, n_in = refine_pose(
-        avg, coords, pixf, cam, steps=p.refinement_steps,
-        inner_iters=p.gn_inner_steps, threshold=p.inlier_threshold_2d,
-        beta=p.inlier_beta, min_inliers=p.min_inliers, damping=p.gn_damping,
-        max_error=p.max_reprojection_error)
+    _, refine_one = make_refiners(coords, pixf, cam, p, refine_mode,
+                                  inject_init=True)
+    final, n_in = refine_one(avg)
 
     chosen = jnp.argmax(probs)
     return FrameResult(sampling, coords, sets.poses, sets.valid,

@@ -320,7 +320,8 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
         return score_apply(score_params, dm)
 
     if softam:
-        res = process_frame_softam(key, image, coord_fn, score_fn, cam, cfg)
+        res = process_frame_softam(key, image, coord_fn, score_fn, cam, cfg,
+                                   refine_mode=refine_mode)
         objective = max_loss(res.final, gt_pose)
         losses = max_loss(res.refined, gt_pose)
     else:

@@ -193,3 +193,38 @@ class TestE2E:
             score_apply, CAM, cfg, softam=True)
         assert np.isfinite(float(obj))
         assert np.all(np.isfinite(np.array(gc["bias"])))
+
+    def test_softam_implicit_gradients_live_and_learn(self):
+        # The fast softam training mode: fixed-point forward +
+        # implicit-function gradient WITH init-injection.  Pure implicit
+        # gradients would sever the score CNN's only gradient path (it
+        # reaches the loss through the averaged initial pose,
+        # cnn_softam.h:738-923); the injected one-step GN Jacobian must
+        # keep it alive, and the coordinate path must still learn.
+        import functools
+        import optax
+        (pose, rgb, coord_apply, score_apply, cp, sp, cfg) = self._setup()
+        grad_fn = jax.jit(functools.partial(
+            jax.grad(e2e_expected_loss, argnums=(0, 1), has_aux=True),
+            coord_apply=coord_apply, score_apply=score_apply, cam=CAM,
+            cfg=cfg, softam=True, refine_mode="implicit_jnp"))
+        loss_fn = jax.jit(functools.partial(
+            e2e_expected_loss, coord_apply=coord_apply,
+            score_apply=score_apply, cam=CAM, cfg=cfg, softam=True,
+            refine_mode="implicit_jnp"))
+
+        (gc, gs), _ = grad_fn(cp, sp, jax.random.PRNGKey(0), rgb, pose)
+        assert np.all(np.isfinite(np.array(gc["bias"])))
+        assert np.isfinite(float(gs["gain"]))
+        assert float(jnp.abs(gs["gain"])) > 0.0  # score path alive
+
+        opt = optax.adam(15.0)
+        opt_state = opt.init(cp)
+        key = jax.random.PRNGKey(1)
+        l0, _ = loss_fn(cp, sp, key, rgb, pose)
+        for i in range(15):
+            (g, _), _ = grad_fn(cp, sp, jax.random.PRNGKey(i), rgb, pose)
+            updates, opt_state = opt.update(g, opt_state, cp)
+            cp = optax.apply_updates(cp, updates)
+        l1, _ = loss_fn(cp, sp, key, rgb, pose)
+        assert float(l1) < float(l0) * 0.8, (float(l0), float(l1))
