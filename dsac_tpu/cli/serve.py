@@ -74,7 +74,9 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
                                coord_collective=coord_collective,
                                verify_topk=args.verify_topk,
                                fused_sampling=args.fused_refine,
-                               refine_mode=refine_mode)
+                               refine_mode=refine_mode,
+                               scoring=("fused_soft" if args.fused_scoring
+                                        else "cnn"))
 
     keys = jnp.stack([
         jax.random.split(jax.random.PRNGKey(args.seed + q), B)
@@ -139,6 +141,11 @@ def main(argv=None):
                    help="refine the K best-scored hypotheses and serve "
                         "the max-inlier-consensus one (robust to score "
                         "misdraws on OOD frames; 0 = winner only)")
+    p.add_argument("--fused-scoring", action="store_true",
+                   help="score with the fused reprojection+soft-inlier "
+                        "kernel instead of the score CNN (the very-"
+                        "large-H regime: the (H, N) surface never "
+                        "materialises in HBM)")
     args, cfg, strings = common.parse_with_flags(p, argv)
 
     if args.fused_refine is None:
@@ -181,6 +188,7 @@ def main(argv=None):
         score_fn=score_fn, cam=cam, cfg=cfg, refine_all=False,
         fused_refine=args.fused_refine,
         fused_sampling=args.fused_refine,  # same backend gate
+        scoring="fused_soft" if args.fused_scoring else "cnn",
         verify_topk=args.verify_topk)
 
     @jax.jit

@@ -233,7 +233,8 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
                         coord_collective: bool = False,
                         verify_topk: int = 0,
                         fused_sampling: bool = False,
-                        refine_mode=False):
+                        refine_mode=False,
+                        scoring: str = "cnn"):
     """Per-device body (inside shard_map) for serving ONE frame.
 
     The serve twin of sharded_process_frame: no ground truth, winner-only
@@ -250,6 +251,12 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     single-chip path (ops/p3p_pallas.py SoA sampler; make_refiners
     "fused" = single-launch Pallas IRLS) — the per-chip speed must not
     regress when the pool is sharded.
+
+    scoring="fused_soft" is the very-large-H regime (the scaled analogue
+    of core/cnn.h:1135-1141) sharded over 'hyp': each shard scores its
+    H/Y hypotheses with the fused reprojection+soft-inlier kernel, so
+    neither the (H, N) error surface nor the (H, G, G) diff-map stack
+    ever materialises; score_fn is unused.
 
     Returns (final_pose, scores, probs, entropy, chosen).
     """
@@ -278,9 +285,20 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     k_local = jax.random.fold_in(k_hyp, shard)
     sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg,
                                fused=fused_sampling)
-    dm = diffmaps(sets.poses, coords, pixf, cam,
-                  pcfg.max_reprojection_error)
-    scores_local = score_fn(dm.reshape(H_local, grid, grid))
+    if scoring == "fused_soft":
+        from dsac_tpu.ops.diffmap_pallas import soft_inlier_scores_pallas
+        cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy])
+        scores_local = soft_inlier_scores_pallas(
+            sets.poses.R, sets.poses.t, coords, pixf, cam_vec,
+            threshold=pcfg.inlier_threshold_2d, beta=pcfg.score_beta,
+            max_error=pcfg.max_reprojection_error,
+            interpret=jax.default_backend() != "tpu")
+    elif scoring == "cnn":
+        dm = diffmaps(sets.poses, coords, pixf, cam,
+                      pcfg.max_reprojection_error)
+        scores_local = score_fn(dm.reshape(H_local, grid, grid))
+    else:
+        raise ValueError(f"unknown scoring mode {scoring!r}")
     scores_local = jnp.where(sets.valid, scores_local, -1e9)
 
     # global pool: scores + minimal poses (H x (9+3) floats)
@@ -315,7 +333,8 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                        coord_collective: bool = False,
                        verify_topk: int = 0,
                        fused_sampling: bool | None = None,
-                       refine_mode="auto"):
+                       refine_mode="auto",
+                       scoring: str = "cnn"):
     """Build the jitted multi-device serving step (inference twin of
     sharded_e2e_step).
 
@@ -341,7 +360,8 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                 coord_collective=coord_collective,
                 verify_topk=verify_topk,
                 fused_sampling=fused_sampling,
-                refine_mode=refine_mode)
+                refine_mode=refine_mode,
+                scoring=scoring)
             return final.R, final.t, scores, ent, chosen
 
         return jax.vmap(one)(keys, images)

@@ -194,6 +194,28 @@ class TestShardedPipeline:
         assert np.all(np.asarray(rot_err) < 5.0), np.asarray(rot_err)
         assert np.all(np.asarray(t_err) < 50.0), np.asarray(t_err)
 
+    def test_sharded_serve_large_h_fused_scoring(self):
+        # the config-4 very-large-H regime (4k hypotheses, the scaled
+        # analogue of core/cnn.h:1135-1141) through the hyp-sharded serve
+        # path with fused reprojection+soft-inlier scoring: neither the
+        # (H, N) error surface nor the (H, G, G) diff-map stack ever
+        # materialises, per shard or gathered
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.parallel import sharded_serve_step
+
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=4096)
+        cp = {"bias": jnp.zeros(3)}
+        serve = sharded_serve_step(mesh, coord_apply, score_apply, CAM,
+                                   cfg, scoring="fused_soft",
+                                   fused_sampling=False, refine_mode=False)
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+        R, t, scores, ent, chosen = serve(cp, sp, keys, maps)
+        assert scores.shape == (2, 4096)
+        rot_err, t_err = pose_errors(Pose(R, t), gt)
+        assert np.all(np.asarray(rot_err) < 5.0), np.asarray(rot_err)
+        assert np.all(np.asarray(t_err) < 50.0), np.asarray(t_err)
+
     def test_sharded_training_step_implicit_gradients(self):
         # the fast multi-chip training mode: fixed-point forward under
         # stop_gradient + one differentiable GN step (implicit-function
