@@ -130,14 +130,28 @@ def _schur_solve(U, V, bp, bx, F, damping: float, K: int):
 
 def bundle_adjust(prob: BAProblem, cam: Camera, iters: int = 5,
                   damping: float = 1e-3,
-                  fix_first_pose: bool = True) -> tuple[Pose, jnp.ndarray]:
-    """Single-device BA.  Gauge freedom is fixed by freezing pose 0."""
+                  fix_first_pose: bool = True,
+                  point_prior: float = 0.0) -> tuple[Pose, jnp.ndarray]:
+    """Single-device BA.
+
+    Gauge freedom is fixed either by freezing pose 0 (fix_first_pose) or
+    by a soft prior pulling each point to its INITIAL position with
+    weight `point_prior` (px^2/mm^2).  The prior is the right gauge for
+    scene-coordinate problems: the initial points come from
+    scene-coordinate regression and are already in the ABSOLUTE scene
+    frame, so anchoring the map to them keeps every pose comparable to
+    ground truth instead of inheriting the frozen camera's error.
+    """
     K = prob.poses.t.shape[0]
     M = prob.points.shape[0]
+    points_init = prob.points
 
     def step(carry, _):
         poses, points = carry
         U, V, bp, bx, F = _accumulate(poses, points, prob, cam, K, M)
+        if point_prior > 0.0:
+            V = V + point_prior * jnp.eye(3)
+            bx = bx + point_prior * (points_init - points)
         dp, dx = _schur_solve(U, V, bp, bx, F, damping, K)
         ok = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(dx))
         dp = jnp.where(ok, dp, 0.0)
@@ -156,7 +170,8 @@ def bundle_adjust(prob: BAProblem, cam: Camera, iters: int = 5,
 def distributed_bundle_adjust(prob_local: BAProblem, cam: Camera,
                               axis_name: str, iters: int = 5,
                               damping: float = 1e-3,
-                              fix_first_pose: bool = True
+                              fix_first_pose: bool = True,
+                              point_prior: float = 0.0
                               ) -> tuple[Pose, jnp.ndarray]:
     """Shard_map body: observations partitioned over `axis_name`.
 
@@ -164,15 +179,20 @@ def distributed_bundle_adjust(prob_local: BAProblem, cam: Camera,
     replicated.  Per-point accumulators (V, bx, F) and the per-frame
     blocks (U, bp) are psum'd so the Schur system is global; the reduced
     solve and updates are computed redundantly on every device (they are
-    tiny), keeping the result replicated.
+    tiny), keeping the result replicated.  The point prior (see
+    bundle_adjust) is added AFTER the psum so it is counted once.
     """
     K = prob_local.poses.t.shape[0]
     M = prob_local.points.shape[0]
+    points_init = prob_local.points
 
     def step(carry, _):
         poses, points = carry
         U, V, bp, bx, F = _accumulate(poses, points, prob_local, cam, K, M)
         U, V, bp, bx, F = jax.lax.psum((U, V, bp, bx, F), axis_name)
+        if point_prior > 0.0:
+            V = V + point_prior * jnp.eye(3)
+            bx = bx + point_prior * (points_init - points)
         dp, dx = _schur_solve(U, V, bp, bx, F, damping, K)
         ok = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(dx))
         dp = jnp.where(ok, dp, 0.0)

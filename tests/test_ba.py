@@ -144,3 +144,63 @@ class TestDistributedBA:
                                    atol=2.0)
         np.testing.assert_allclose(np.array(points), np.array(ref_points),
                                    atol=2.0)
+
+
+class TestServeBADemo:
+    def test_voxel_association_ba_improves_served_poses(self, rng):
+        """The refine_ba program's chain on a noisy oracle: per-frame
+        scene-coordinate noise is averaged out by the voxel merge and
+        the exact-pixel observations pull the perturbed poses back."""
+        from dsac_tpu.cli.refine_ba import associate_voxels
+        from dsac_tpu.data.synthetic import SyntheticScene
+
+        scene = SyntheticScene()
+        cam = scene.camera
+        K = 6
+        gt_R, gt_t, sv_R, sv_t, coords, pix = [], [], [], [], [], []
+        for k in range(K):
+            pose, rgb, depth, cgt = scene.frame(jax.random.PRNGKey(40 + k))
+            cgt = np.asarray(cgt)
+            ys, xs = np.mgrid[24:456:16, 24:616:16]
+            valid = np.abs(cgt[ys, xs]).sum(-1) > 0
+            ys, xs = ys[valid], xs[valid]
+            take = rng.integers(len(ys), size=400)
+            ys, xs = ys[take], xs[take]
+            coords.append(cgt[ys, xs] + rng.normal(size=(400, 3)) * 20.0)
+            pix.append(np.stack([xs, ys], -1).astype(np.float32))
+            gt_R.append(np.asarray(pose.R))
+            gt_t.append(np.asarray(pose.t))
+            # "served" poses: GT perturbed (the estimate BA must improve)
+            dw = rng.normal(size=3) * 0.006
+            sv_R.append(np.asarray(so3_exp(jnp.asarray(dw, jnp.float32)))
+                        @ gt_R[-1])
+            sv_t.append(gt_t[-1] + rng.normal(size=3) * 15.0)
+
+        gt = Pose(jnp.asarray(np.stack(gt_R)), jnp.asarray(np.stack(gt_t)))
+        served = Pose(jnp.asarray(np.stack(sv_R)),
+                      jnp.asarray(np.stack(sv_t)))
+        coords = np.stack(coords)
+        weights = np.ones((K, 400), np.float32)
+        points0, point_idx = associate_voxels(coords, weights, 60.0)
+        shared = (np.bincount(point_idx) > 1).sum()
+        assert shared > 50  # the merge must actually associate frames
+
+        prob = BAProblem(
+            poses=served, points=jnp.asarray(points0, jnp.float32),
+            frame_idx=jnp.asarray(np.repeat(np.arange(K, dtype=np.int32),
+                                            400)),
+            point_idx=jnp.asarray(point_idx),
+            uv=jnp.asarray(np.concatenate(pix)),
+            weights=jnp.asarray(weights.reshape(-1)))
+        # point-prior gauge: the noisy-but-absolute scene-coordinate
+        # points anchor the map, every pose stays GT-comparable
+        poses_ba, _ = bundle_adjust(prob, cam, iters=10,
+                                    fix_first_pose=False,
+                                    point_prior=0.01)
+
+        r0, t0 = pose_errors(served, gt)
+        r1, t1 = pose_errors(poses_ba, gt)
+        assert float(np.median(np.asarray(t1))) < \
+            0.6 * float(np.median(np.asarray(t0))), (t0, t1)
+        assert float(np.median(np.asarray(r1))) < \
+            float(np.median(np.asarray(r0))), (r0, r1)
