@@ -230,14 +230,56 @@ def init_or_restore(out_dir, name, init_fn, template_fn=None):
     return init_fn(), 0
 
 
+def apply_string_flags(strings: dict | None):
+    """Honour the reference's model/script path flags (properties.cpp:69-70).
+
+    -omodel/-smodel name the coordinate/score model files to load
+    (test_ransac.cpp model selection); here they map to checkpoint names
+    (a trailing .net is stripped) or .npz weight artifacts
+    (utils/params_io).  Returns (omodel, smodel) overrides or Nones.
+    -oscript/-sscript named the Lua TRAINING scripts — there is no Lua
+    layer in this rebuild (its constants live in config.py:NetConfig), so
+    they warn instead of silently no-opping.
+    """
+    from dsac_tpu.utils.logging import blue
+    strings = strings or {}
+    for k in ("oscript", "sscript"):
+        if k in strings:
+            print(blue(f"WARNING: -{k} {strings[k]!r} ignored — the "
+                       "reference's Lua training scripts are replaced by "
+                       "models/ + config.py:NetConfig (no script files)."))
+
+    def norm(name):
+        v = strings.get(name)
+        if v is None:
+            return None
+        return v[:-4] if v.endswith(".net") else v
+
+    return norm("omodel"), norm("smodel")
+
+
+def _restore_named(out_dir, name, template_fn=None):
+    """Checkpoint name or .npz artifact path -> params."""
+    if str(name).endswith(".npz"):
+        from dsac_tpu.utils.params_io import load_params_npz
+        path = Path(name)
+        if not path.exists():
+            path = Path(out_dir) / name
+        return load_params_npz(path, template_fn())
+    return ckpt.restore(out_dir, name)["params"]
+
+
 def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
-                     softam: bool = False):
+                     softam: bool = False, strings: dict | None = None):
     """Shared eval/serve model loading: endtoend > init > random for the
     coordinate net; (score_params, use_score_net) for the score net —
     use_score_net False means callers should score with the soft-inlier
-    head.  Mirrors test_ransac.cpp's model-file selection."""
+    head.  Mirrors test_ransac.cpp's model-file selection; -omodel/-smodel
+    flag values (reference properties.cpp:69-70) override the names."""
     import jax.numpy as jnp
     from dsac_tpu.utils.logging import blue
+
+    omodel, smodel = apply_string_flags(strings)
 
     if args.arch != "patch":
         coord_init = lambda: coord_net.init(
@@ -250,25 +292,37 @@ def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
     score_e2e = ckpt.SCORE_SOFTAM if softam else ckpt.SCORE_E2E
 
     coord_params, coord_src = None, "random"
-    for name in ([obj_e2e, ckpt.OBJ_INIT] if args.model == "endtoend"
-                 else [ckpt.OBJ_INIT] if args.model == "init" else []):
+    names = ([omodel] if omodel
+             else [obj_e2e, ckpt.OBJ_INIT] if args.model == "endtoend"
+             else [ckpt.OBJ_INIT] if args.model == "init" else [])
+    for name in names:
         try:
-            coord_params = ckpt.restore(args.out, name)["params"]
+            coord_params = _restore_named(args.out, name, coord_init)
             print(blue(f"Loaded {name}."))
             coord_src = name
             break
         except Exception:
             continue
     if coord_params is None:
+        if omodel:
+            raise SystemExit(f"-omodel {omodel!r} could not be loaded "
+                             f"from {args.out}")
         print(blue("Using freshly initialised coordinate net."))
         coord_params = coord_init()
 
-    score_params, use_score_net = None, args.model != "none"
+    score_init = lambda: score_net.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, cfg.net.subsample_size, cfg.net.subsample_size)))
+    score_params, use_score_net = None, args.model != "none" or bool(smodel)
     if use_score_net:
         try:
-            score_params = ckpt.restore(
-                args.out, score_e2e if args.model == "endtoend"
-                else ckpt.SCORE_INIT)["params"]
+            score_params = _restore_named(
+                args.out,
+                smodel or (score_e2e if args.model == "endtoend"
+                           else ckpt.SCORE_INIT), score_init)
         except Exception:
+            if smodel:
+                raise SystemExit(f"-smodel {smodel!r} could not be loaded "
+                                 f"from {args.out}")
             use_score_net = False
     return coord_params, coord_src, score_params, use_score_net

@@ -119,7 +119,8 @@ def main(argv=None):
     K = len(frames)
 
     coord_params, coord_src, score_params, use_score_net = \
-        common.load_eval_params(args, cfg, coord_net, score_net, frames[0])
+        common.load_eval_params(args, cfg, coord_net, score_net, frames[0],
+                                strings=strings)
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:

@@ -159,7 +159,7 @@ def main(argv=None):
     sample = source.get(0)
 
     coord_params, _, score_params, use_score_net = common.load_eval_params(
-        args, cfg, coord_net, score_net, sample)
+        args, cfg, coord_net, score_net, sample, strings=strings)
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:

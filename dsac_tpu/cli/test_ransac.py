@@ -65,7 +65,7 @@ def main(argv=None, softam: bool = False):
     # model loading: endtoend > init > random (shared with cli/serve.py)
     coord_params, coord_src, score_params, use_score_net = \
         common.load_eval_params(args, cfg, coord_net, score_net, sample,
-                                softam=args.softam)
+                                softam=args.softam, strings=strings)
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:

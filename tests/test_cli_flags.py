@@ -244,6 +244,22 @@ class TestCliSmoke:
                    "--out", str(tmp_path / "out")], tmp_path)
         assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
 
+    def test_reference_model_flags_honoured(self, tmp_path):
+        """-omodel names the coordinate model file to load (trailing .net
+        stripped -> checkpoint name, properties.cpp:69-70); -oscript
+        warns instead of silently no-opping."""
+        self._run("dsac_tpu.cli.train_obj",
+                  ["--synthetic", "1", "--rounds", "2", "--width-mult",
+                   "0.125", "--out", str(tmp_path / "out")], tmp_path)
+        res = self._run("dsac_tpu.cli.test_ransac",
+                        ["--synthetic", "1", "--rounds", "1", "--model",
+                         "none", "--width-mult", "0.125", "--out",
+                         str(tmp_path / "out"), "-rI", "16",
+                         "-omodel", "obj_model_init.net",
+                         "-oscript", "train_obj.lua"], tmp_path)
+        assert "Loaded obj_model_init" in res.stdout
+        assert "WARNING: -oscript" in res.stdout
+
     def test_serve_cli_smoke(self, tmp_path):
         res = self._run("dsac_tpu.cli.serve",
                         ["--synthetic", "2", "--model", "none",
