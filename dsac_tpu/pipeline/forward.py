@@ -54,6 +54,9 @@ class FrameResult(NamedTuple):
     refined: Pose  # (H,) refined hypotheses ('serve': only winner valid)
     inlier_counts: jnp.ndarray  # (H,) final soft inlier counts
     final: Pose  # () the selected refined pose
+    refined_mask: jnp.ndarray  # (H,) bool — True where `refined` really
+    # was refined (refine_all: all; verify_topk: the K candidates;
+    # winner-only serve: just `chosen`; softam: none — only `final` is)
 
 
 def verified_selection(res: FrameResult) -> FrameResult:
@@ -290,6 +293,7 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
     if refine_all:
         refined, n_in = refine_batch(sets.poses)
         final = _take_pose(refined, chosen)
+        refined_mask = jnp.ones(scores.shape, bool)
     elif verify_topk > 1:
         # Verified serving: refine the top-K scored hypotheses and serve
         # the one with the largest final soft-inlier consensus.  A single
@@ -308,6 +312,7 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
         refined = Pose(sets.poses.R.at[top].set(refined_k.R),
                        sets.poses.t.at[top].set(refined_k.t))
         n_in = jnp.zeros(scores.shape).at[top].set(jnp.maximum(n_k, 0.0))
+        refined_mask = jnp.zeros(scores.shape, bool).at[top].set(True)
     else:
         final, n_chosen = refine_one(_take_pose(sets.poses, chosen))
         # Serve path: only the winner is refined.  Write it back into the
@@ -317,10 +322,11 @@ def process_frame(key: jax.Array, image: jnp.ndarray, coord_fn: CoordFn,
         refined = Pose(sets.poses.R.at[chosen].set(final.R),
                        sets.poses.t.at[chosen].set(final.t))
         n_in = jnp.zeros(scores.shape).at[chosen].set(n_chosen)
+        refined_mask = jnp.zeros(scores.shape, bool).at[chosen].set(True)
 
     return FrameResult(sampling, coords, sets.poses, sets.valid,
                        sets.indices, dm, scores, probs, ent, chosen,
-                       refined, n_in, final)
+                       refined, n_in, final, refined_mask)
 
 
 def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
@@ -385,4 +391,4 @@ def process_frame_softam(key: jax.Array, image: jnp.ndarray,
     return FrameResult(sampling, coords, sets.poses, sets.valid,
                        sets.indices, dm, scores, probs, ent, chosen,
                        sets.poses, jnp.broadcast_to(n_in, scores.shape),
-                       final)
+                       final, jnp.zeros(scores.shape, bool))
