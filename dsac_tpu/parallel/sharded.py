@@ -227,6 +227,75 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     return expected, aux
 
 
+def emulated_expected_loss(key: jax.Array, image: jnp.ndarray,
+                           coord_fn: Callable, score_fn: Callable,
+                           cam: Camera, cfg: DSACConfig,
+                           n_hyp_shards: int, gt_pose: Pose,
+                           refine_mode=False):
+    """Collective-free single-device twin of sharded_process_frame.
+
+    Reproduces the EXACT draws of the hyp-sharded program — same
+    key split, same per-shard fold_in(k_hyp, shard), same local pool
+    sizes — with every collective replaced by its dense equivalent
+    (all_gather -> reshape over an explicit shard axis, psum -> sum).
+    The multichip dryrun compares the shard_map program against this
+    function as an EQUALITY (not a statistical range): any collective
+    layout/transpose bug shows up as a numeric difference.
+
+    coord_fn here is the replicated form (full pixel set in, all coords
+    out) — the pointwise-oracle analogue of both coord modes.
+    """
+    import dataclasses
+
+    pcfg = cfg.pose
+    H_local = pcfg.num_hypotheses // n_hyp_shards
+    grid = cfg.net.subsample_size
+    k_samp, k_hyp = jax.random.split(key)
+
+    sampling = stratified_sample(k_samp, cfg.data.image_width,
+                                 cfg.data.image_height, grid,
+                                 cfg.net.rgb_patch_size)
+    pix = sampling.reshape(-1, 2)
+    coords = coord_fn(image, pix) * 1000.0
+    pixf = pix.astype(jnp.float32)
+    local_cfg = dataclasses.replace(pcfg, num_hypotheses=H_local)
+
+    def shard_body(s):
+        k_local = jax.random.fold_in(k_hyp, s)
+        sets = sample_minimal_sets(k_local, coords, pixf, cam, local_cfg)
+        dm = diffmaps(sets.poses, coords, pixf, cam,
+                      pcfg.max_reprojection_error)
+        scores_local = score_fn(dm.reshape(H_local, grid, grid))
+        return (jnp.where(sets.valid, scores_local, -1e9),
+                sets.poses.R, sets.poses.t, sets.valid)
+
+    scores_l, R_l, t_l, valid_l = jax.vmap(shard_body)(
+        jnp.arange(n_hyp_shards))
+    scores = scores_l.reshape(-1)  # == all_gather(tiled) shard order
+    probs = jax.nn.softmax(scores)
+    pool = Pose(R_l.reshape(-1, 3, 3), t_l.reshape(-1, 3))
+
+    refine_batch, _ = make_refiners(coords, pixf, cam, pcfg, refine_mode)
+    refined, n_in = refine_batch(pool)
+    losses = max_loss(refined, gt_pose)
+    skip = probs < 1e-4
+    losses_pose_path = jnp.where(skip, jax.lax.stop_gradient(losses),
+                                 losses)
+    expected = jnp.sum(probs * losses_pose_path)
+
+    winner = jnp.argmax(scores)
+    aux = {
+        "entropy": shannon_entropy(probs),
+        "winner_loss": max_loss(_take(refined, winner), gt_pose),
+        "valid_hyps": jnp.sum(valid_l),
+    }
+    return expected, aux
+
+
+def _take(p: Pose, idx) -> Pose:
+    return Pose(p.R[idx], p.t[idx])
+
+
 def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
                         coord_fn: Callable, score_fn: Callable,
                         cam: Camera, cfg: DSACConfig, n_hyp_shards: int,

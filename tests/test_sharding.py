@@ -95,6 +95,40 @@ class TestShardedPipeline:
         assert float(loss0) < 5.0
         assert float(aux0["winner_loss"]) < 3.0
 
+    def test_sharded_loss_equals_emulated_exactly(self):
+        # the EXACT oracle: the collective-free emulation reproduces the
+        # sharded program's draws (same fold_in(k_hyp, shard) pattern),
+        # so the two must agree numerically, not just statistically —
+        # any all_gather/psum layout bug shows as a difference
+        from dsac_tpu.parallel.sharded import emulated_expected_loss
+
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        keys = jax.random.split(jax.random.PRNGKey(5), 2)
+
+        from jax.sharding import PartitionSpec as P
+        loss_fn = jax.jit(jax.shard_map(
+            functools.partial(sharded_expected_loss,
+                              coord_apply=coord_apply,
+                              score_apply=score_apply, cam=CAM, cfg=cfg,
+                              n_hyp_shards=4),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        loss, aux = loss_fn(cp, sp, keys, maps, gt)
+
+        emu = []
+        for i in range(2):
+            e, _ = emulated_expected_loss(
+                keys[i], maps[i],
+                lambda img, pix: coord_apply(cp, img, pix),
+                lambda dm: score_apply(sp, dm), CAM, cfg, 4,
+                Pose(gt.R[i], gt.t[i]))
+            emu.append(float(e))
+        np.testing.assert_allclose(float(loss), np.mean(emu), rtol=1e-5)
+
     def test_data_and_hyp_axes_together(self):
         mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
             self._build(2, 4, 2, H=32)
