@@ -14,10 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsac_tpu.ops.sampling import stratified_sample
-from dsac_tpu.pipeline.train import (make_score_batch,
-                                     score_pretrain_optimizer,
-                                     score_pretrain_step)
+from dsac_tpu.pipeline.train import (score_pretrain_optimizer,
+                                     score_pretrain_round)
 from dsac_tpu.utils import checkpoint as ckpt
 from dsac_tpu.utils.logging import TrainingLog, blue, green
 from dsac_tpu.cli import common
@@ -66,48 +64,42 @@ def main(argv=None):
                                   jnp.zeros((1, grid, grid)))
     opt = score_pretrain_optimizer(args.lr)
     opt_state = opt.init(score_params)
-    step_fn = jax.jit(functools.partial(
-        score_pretrain_step, apply_fn=lambda p_, d: score_net.apply(p_, d),
-        optimizer=opt))
 
-    @jax.jit
-    def predict_coords(params, image, key):
-        sampling = stratified_sample(key, cfg.data.image_width,
-                                     cfg.data.image_height, grid,
-                                     cfg.net.rgb_patch_size)
-        pix = sampling.reshape(-1, 2)
-        coords = coord_apply(params, image, pix) * 1000.0
-        return coords, pix.astype(jnp.float32)
+    # stage the frame pool on device once; each round is then ONE
+    # dispatch (pipeline/train.py:score_pretrain_round) instead of the
+    # reference's ~30 host/device boundaries (train_score.cpp:271-373)
+    n_f = max(1, args.frames_per_round // 10)
+    images_d = jnp.asarray(
+        np.stack([source.get(i).rgb for i in range(len(source))]))
+    gt_R = jnp.asarray(np.stack(
+        [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
+    gt_t = jnp.asarray(np.stack(
+        [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
 
-    batch_fn = jax.jit(functools.partial(make_score_batch, cam=cam, cfg=cfg,
-                                         n_hyps=args.hyps_per_frame))
+    round_fn = jax.jit(functools.partial(
+        score_pretrain_round, images=images_d, gt_R=gt_R, gt_t=gt_t,
+        coord_params=coord_params, coord_apply=coord_apply,
+        score_apply=lambda p_, d: score_net.apply(p_, d), cam=cam, cfg=cfg,
+        n_hyps=args.hyps_per_frame, batch=args.batch, optimizer=opt))
 
     log = TrainingLog(f"{args.out}/score_training_loss.txt")
     update = 0
     for rnd in range(args.training_rounds):
-        dmaps, labels = [], []
-        for _ in range(max(1, args.frames_per_round // 10)):
-            f = source.get(int(rng.integers(len(source))))
-            k = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
-            coords, pix = predict_coords(coord_params,
-                                         jnp.asarray(f.rgb), k)
-            dm, lab = batch_fn(jax.random.PRNGKey(int(rng.integers(2 ** 31))),
-                               f.pose, coords, pix)
-            dmaps.append(dm)
-            labels.append(lab)
-        dmaps = jnp.concatenate(dmaps)
-        labels = jnp.concatenate(labels)
-        order = rng.permutation(len(dmaps))
-        for b0 in range(0, len(order) - args.batch + 1, args.batch):
-            sel = jnp.asarray(order[b0:b0 + args.batch])
-            score_params, opt_state, loss = step_fn(
-                score_params, opt_state, dmaps[sel], labels[sel])
-            update += 1
-        log.append(rnd, float(loss))
-        print(f"round {rnd}: score L1 {float(loss):.3f}")
-        ckpt.save(args.out, ckpt.SCORE_INIT,
-                  {"params": score_params, "opt_state": opt_state,
-                   "step": update}, step=update)
+        fidx = jnp.asarray(rng.integers(len(source), size=n_f), jnp.int32)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(2 ** 31))), n_f)
+        perm = jnp.asarray(
+            rng.permutation(n_f * args.hyps_per_frame), jnp.int32)
+        score_params, opt_state, losses = round_fn(
+            score_params, opt_state, fidx, keys, perm)
+        update += int(losses.shape[0])
+        loss = float(losses[-1])
+        log.append(rnd, loss)
+        print(f"round {rnd}: score L1 {loss:.3f}")
+        if (rnd + 1) % 10 == 0 or rnd == args.training_rounds - 1:
+            ckpt.save(args.out, ckpt.SCORE_INIT,
+                      {"params": score_params, "opt_state": opt_state,
+                       "step": update}, step=update)
     print(green(f"Done; snapshots in {args.out}/{ckpt.SCORE_INIT}"))
     return score_params
 

@@ -279,6 +279,58 @@ def make_score_batch(key: jax.Array, gt_pose: Pose, coords: jnp.ndarray,
     return dm.reshape(n_hyps, grid, grid), labels
 
 
+def score_pretrain_round(score_params, opt_state, frame_idx: jnp.ndarray,
+                         keys: jax.Array, perm: jnp.ndarray,
+                         images: jnp.ndarray, gt_R: jnp.ndarray,
+                         gt_t: jnp.ndarray, coord_params,
+                         coord_apply: Callable, score_apply: Callable,
+                         cam: Camera, cfg: DSACConfig, n_hyps: int,
+                         batch: int,
+                         optimizer: optax.GradientTransformation):
+    """One full train_score round fused into ONE device dispatch.
+
+    The reference's round (train_score.cpp:271-373) subsamples F frames,
+    predicts coordinates, renders two-band perturbation diff maps and
+    takes minibatch Adam steps — a host loop costing ~30 blocking
+    dispatches per round over a remote-TPU tunnel.  Here the frame pool
+    lives on device and the host supplies only the round schedule:
+    frame_idx (F,), per-frame keys (F,), and a shuffle perm (F*n_hyps,).
+
+    Returns (score_params, opt_state, losses (n_batches,)).
+    """
+    from dsac_tpu.ops.sampling import stratified_sample
+
+    grid = cfg.net.subsample_size
+
+    def per_frame(fi, k):
+        k1, k2 = jax.random.split(k)
+        sampling = stratified_sample(k1, cfg.data.image_width,
+                                     cfg.data.image_height, grid,
+                                     cfg.net.rgb_patch_size)
+        pix = sampling.reshape(-1, 2)
+        coords = coord_apply(coord_params, images[fi], pix) * 1000.0
+        return make_score_batch(k2, Pose(gt_R[fi], gt_t[fi]), coords,
+                                pix.astype(jnp.float32), cam, cfg, n_hyps)
+
+    dms, labs = jax.vmap(per_frame)(frame_idx, keys)
+    dms = dms.reshape(-1, grid, grid)[perm]
+    labs = labs.reshape(-1)[perm]
+    nb = dms.shape[0] // batch
+    dms = dms[:nb * batch].reshape(nb, batch, grid, grid)
+    labs = labs[:nb * batch].reshape(nb, batch)
+
+    def body(carry, xs):
+        sp, os_ = carry
+        d, l = xs
+        sp, os_, loss = score_pretrain_step(sp, os_, d, l, score_apply,
+                                            optimizer)
+        return (sp, os_), loss
+
+    (score_params, opt_state), losses = jax.lax.scan(
+        body, (score_params, opt_state), (dms, labs))
+    return score_params, opt_state, losses
+
+
 def score_pretrain_step(params, opt_state, dmaps, labels,
                         apply_fn: Callable,
                         optimizer: optax.GradientTransformation):

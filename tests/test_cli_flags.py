@@ -244,6 +244,19 @@ class TestCliSmoke:
                    "--out", str(tmp_path / "out")], tmp_path)
         assert ckpt.latest_step(tmp_path / "out", ckpt.OBJ_INIT) is not None
 
+    def test_train_score_smoke(self, tmp_path):
+        # fused round path: one dispatch per round, loss finite,
+        # score_model_init written
+        self._run("dsac_tpu.cli.train_score",
+                  ["--synthetic", "2", "--rounds", "3", "--width-mult",
+                   "0.125", "--out", str(tmp_path / "out")], tmp_path)
+        assert ckpt.latest_step(tmp_path / "out",
+                                ckpt.SCORE_INIT) is not None
+        loss = (tmp_path / "out" / "score_training_loss.txt").read_text()
+        assert len(loss.splitlines()) == 3
+        assert all(np.isfinite(float(l.split()[1]))
+                   for l in loss.splitlines())
+
     def test_reference_model_flags_honoured(self, tmp_path):
         """-omodel names the coordinate model file to load (trailing .net
         stripped -> checkpoint name, properties.cpp:69-70); -oscript
