@@ -1,14 +1,17 @@
 """Export trained orbax snapshots as compact committed weight artifacts.
 
-Writes artifacts/coord_e2e.npz + artifacts/score_e2e.npz (f16, ~12 MB
-total) from a training run directory, so bench.py and demos can serve
-the trained flagship model on a fresh checkout (runs/ is ephemeral and
-gitignored).
+Writes artifacts/coord_e2e<sfx>.npz + artifacts/score_e2e<sfx>.npz (f16,
+~12 MB total) from a training run directory, so bench.py and demos can
+serve trained models on a fresh checkout (runs/ is ephemeral and
+gitignored).  The suffix distinguishes variants: '' = dense DSAC
+flagship, '_s2d' = space-to-depth stem, '_patch' = reference-parity
+patch arch, '_softam' = soft-argmax training.
 
-Usage: python scripts/export_weights.py [runs/synth_gen_fast] [artifacts]
+Usage: python scripts/export_weights.py [run_dir] [out_dir]
+           [--arch dense|dense_s2d|patch] [--softam] [--suffix SFX]
 """
 
-import sys
+import argparse
 from pathlib import Path
 
 import jax
@@ -17,31 +20,51 @@ import jax.numpy as jnp
 
 def main():
     jax.config.update("jax_platforms", "cpu")
-    run_dir = Path(sys.argv[1] if len(sys.argv) > 1 else
-                   "runs/synth_gen_fast")
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "artifacts")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir", nargs="?", default="runs/synth_gen_fast")
+    ap.add_argument("out_dir", nargs="?", default="artifacts")
+    ap.add_argument("--arch", choices=["dense", "dense_s2d", "patch"],
+                    default="dense")
+    ap.add_argument("--softam", action="store_true")
+    ap.add_argument("--suffix", default=None,
+                    help="artifact name suffix (default: derived from "
+                         "--arch/--softam)")
+    args = ap.parse_args()
+    run_dir, out_dir = Path(args.run_dir), Path(args.out_dir)
+    sfx = args.suffix
+    if sfx is None:
+        sfx = ("_softam" if args.softam else
+               "_s2d" if args.arch == "dense_s2d" else
+               "_patch" if args.arch == "patch" else "")
 
-    from dsac_tpu.models import DenseCoordNet, ScoreNet
+    from dsac_tpu.models import DenseCoordNet, PatchCoordNet, ScoreNet
     from dsac_tpu.utils import checkpoint as ckpt
-    from dsac_tpu.utils.params_io import save_params_npz
+    from dsac_tpu.utils.params_io import load_params_npz, save_params_npz
 
-    coord_net, score_net = DenseCoordNet(), ScoreNet()
-    cp = coord_net.init(jax.random.PRNGKey(1),
-                        jnp.zeros((1, 480, 640, 3)))
+    if args.arch == "patch":
+        coord_net = PatchCoordNet()
+        cp = coord_net.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 42, 42, 3)))
+    else:
+        coord_net = DenseCoordNet(s2d=(args.arch == "dense_s2d"))
+        cp = coord_net.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 480, 640, 3)))
+    score_net = ScoreNet()
     sp = score_net.init(jax.random.PRNGKey(2), jnp.zeros((1, 40, 40)))
 
-    snap_c = ckpt.restore(run_dir, ckpt.OBJ_E2E)
-    snap_s = ckpt.restore(run_dir, ckpt.SCORE_E2E)
+    obj = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
+    score = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
+    snap_c = ckpt.restore(run_dir, obj)
+    snap_s = ckpt.restore(run_dir, score)
     # untyped restore returns the raw pytree; pull params out
-    save_params_npz(out_dir / "coord_e2e.npz", snap_c["params"])
-    save_params_npz(out_dir / "score_e2e.npz", snap_s["params"])
-    print(f"Exported e2e weights (step {snap_c['step']}) from {run_dir} "
-          f"to {out_dir}/")
+    save_params_npz(out_dir / f"coord_e2e{sfx}.npz", snap_c["params"])
+    save_params_npz(out_dir / f"score_e2e{sfx}.npz", snap_s["params"])
+    print(f"Exported {obj} weights (step {snap_c['step']}) from {run_dir} "
+          f"to {out_dir}/*{sfx}.npz")
 
     # round-trip check against the typed templates
-    from dsac_tpu.utils.params_io import load_params_npz
     import numpy as np
-    rc = load_params_npz(out_dir / "coord_e2e.npz", cp)
+    rc = load_params_npz(out_dir / f"coord_e2e{sfx}.npz", cp)
     err = max(float(np.max(np.abs(np.asarray(a, np.float32)
                                   - np.asarray(b, np.float32))))
               for a, b in zip(jax.tree.leaves(rc),
