@@ -76,9 +76,11 @@ def main(argv=None):
     gt_t = jnp.asarray(np.stack(
         [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
 
+    # images/gt/coord_params are call ARGUMENTS, not jit-captured
+    # constants: a closed-over 512-frame pool would be inlined into the
+    # HLO and break the remote compile (payload >1.9 GB)
     round_fn = jax.jit(functools.partial(
-        score_pretrain_round, images=images_d, gt_R=gt_R, gt_t=gt_t,
-        coord_params=coord_params, coord_apply=coord_apply,
+        score_pretrain_round, coord_apply=coord_apply,
         score_apply=lambda p_, d: score_net.apply(p_, d), cam=cam, cfg=cfg,
         n_hyps=args.hyps_per_frame, batch=args.batch, optimizer=opt))
 
@@ -91,7 +93,9 @@ def main(argv=None):
         perm = jnp.asarray(
             rng.permutation(n_f * args.hyps_per_frame), jnp.int32)
         score_params, opt_state, losses = round_fn(
-            score_params, opt_state, fidx, keys, perm)
+            score_params, opt_state, fidx, keys, perm,
+            images=images_d, gt_R=gt_R, gt_t=gt_t,
+            coord_params=coord_params)
         update += int(losses.shape[0])
         loss = float(losses[-1])
         log.append(rnd, loss)
