@@ -5,20 +5,22 @@ CNN + 256-hypothesis DSAC inference (score CNN scoring, winner refinement).
 The flagship DenseCoordNet runs the full 640x480 frame; hypothesis
 sampling / dense scoring / GN refinement run exactly as in serving.
 
-Realism: the bench serves 8 DISTINCT novel-viewpoint frames per batch and
-loads the end-to-end-trained weights from runs/synth_gen_fast when
-present, reporting accuracy@5cm5deg of the served poses alongside
-throughput (the reference's own acceptance metric, core/cnn.h:1249-1256).
-Throughput is measured with the frame queue staged on device and the
-serve batches dispatched through one fused lax.scan (the dispatch-latency
-tunnel is crossed once per `QUEUE` batches, not once per batch).
+Realism: the bench stages queue*batch DISTINCT novel-viewpoint frames
+(exactly like cli/serve.py) and loads the end-to-end-trained weights from
+runs/ when present (committed artifacts/*.npz otherwise), reporting
+accuracy@5cm5deg of every served pose alongside throughput (the
+reference's own acceptance metric, core/cnn.h:1249-1256).  Throughput is
+measured with the frame queue staged on device and the serve batches
+dispatched through one fused lax.scan (the dispatch-latency tunnel is
+crossed once per `--queue` batches, not once per batch).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 `python bench.py --measure-cpu-baseline` measures THIS pipeline's best
 CPU-backend throughput on the local host (the reference era's hardware
 class, generously scored: identical program, XLA:CPU, all cores) and
-caches it in BASELINE_CPU.json; `vs_baseline` divides by that measured
-number when present, else by the 2.0 reloc/s literature estimate.
+caches it with its configuration in BASELINE_CPU.json; `vs_baseline`
+divides by that measured number when present, else by the 2.0 reloc/s
+literature estimate.
 
 MFU: FLOPs are taken from XLA's cost analysis of the compiled serve
 executable and divided by wall time x the chip's bf16 peak
@@ -27,8 +29,8 @@ executable and divided by wall time x the chip's bf16 peak
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import argparse
 import json
-import sys
 import time
 from pathlib import Path
 
@@ -36,8 +38,34 @@ BASELINE_RELOC_PER_S_GUESS = 2.0  # literature estimate, see docstring
 TPU_V5E_BF16_PEAK = 197e12
 CPU_BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
+# weight sources per arch (s2d stem weights are not interchangeable with
+# the plain stem, models/coord_net.py)
+RUN_DIRS = {"dense": "synth_gen_fast", "dense_s2d": "synth_s2d"}
+ART_SUFFIX = {"dense": "", "dense_s2d": "_s2d"}
 
-def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(
+        description="dsac_tpu headline serve benchmark")
+    ap.add_argument("--queue", type=int, default=8,
+                    help="batches fused into one lax.scan dispatch")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="frames per vmapped serve batch")
+    ap.add_argument("--verify-topk", type=int, default=0,
+                    help="refine the K best-scored hypotheses and serve "
+                         "the max-consensus one (0 = winner only)")
+    ap.add_argument("--arch", choices=["dense", "dense_s2d"],
+                    default="dense")
+    ap.add_argument("--medians", action="store_true",
+                    help="add median rot/trans errors to the JSON line")
+    ap.add_argument("--measure-cpu-baseline", action="store_true",
+                    help="measure the XLA:CPU baseline at this config and "
+                         "cache it in BASELINE_CPU.json")
+    return ap.parse_args(argv)
+
+
+def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
+          arch: str):
     import jax
     import jax.numpy as jnp
 
@@ -52,21 +80,23 @@ def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
     cam = scene.camera
     cfg = DSACConfig(pose=PoseConfig(num_hypotheses=256, random_draw=False))
 
-    coord_net = DenseCoordNet()
+    coord_net = DenseCoordNet(s2d=(arch == "dense_s2d"))
     score_net = ScoreNet()
 
-    B = batch  # serve batch: keeps CNN matmuls large on the MXU
+    B, Q = batch, queue
     frames, gt_R, gt_t = [], [], []
-    for i in range(B):
-        # novel viewpoints disjoint from the 512-view training keys
+    for i in range(Q * B):
+        # distinct novel viewpoints, disjoint from the 512-view training
+        # keys — the bench serves exactly what cli/serve.py stages
         pose, rgb, depth, coords_gt = scene.frame(jax.random.PRNGKey(9000 + i))
         frames.append(rgb)
         gt_R.append(pose.R)
         gt_t.append(pose.t)
-    images = jnp.stack(frames)
-    gt_R, gt_t = jnp.stack(gt_R), jnp.stack(gt_t)
+    images = jnp.stack(frames).reshape(Q, B, *frames[0].shape)
+    gt_R = jnp.stack(gt_R).reshape(Q, B, 3, 3)
+    gt_t = jnp.stack(gt_t).reshape(Q, B, 3)
 
-    coord_params = coord_net.init(jax.random.PRNGKey(1), images[:1])
+    coord_params = coord_net.init(jax.random.PRNGKey(1), images[0][:1])
     score_params = score_net.init(jax.random.PRNGKey(2),
                                   jnp.zeros((1, 40, 40)))
     trained = False
@@ -74,7 +104,7 @@ def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
         from dsac_tpu.pipeline.train import make_e2e_state
 
         st = make_e2e_state(coord_params, score_params)
-        run_dir = Path(__file__).parent / "runs" / "synth_gen_fast"
+        run_dir = Path(__file__).parent / "runs" / RUN_DIRS[arch]
         snap_c = ckpt.restore(run_dir, ckpt.OBJ_E2E,
                               {"params": coord_params,
                                "opt_state": st.coord_opt, "step": 0})
@@ -90,9 +120,10 @@ def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
             from dsac_tpu.utils.params_io import load_params_npz
 
             art = Path(__file__).parent / "artifacts"
-            coord_params = load_params_npz(art / "coord_e2e.npz",
+            sfx = ART_SUFFIX[arch]
+            coord_params = load_params_npz(art / f"coord_e2e{sfx}.npz",
                                            coord_params)
-            score_params = load_params_npz(art / "score_e2e.npz",
+            score_params = load_params_npz(art / f"score_e2e{sfx}.npz",
                                            score_params)
             trained = True
         except Exception:
@@ -113,11 +144,11 @@ def build(on_tpu: bool, batch: int = 8, verify_topk: int = 0):
                                      verify_topk=verify_topk)
         return res.final.R, res.final.t
 
-    return serve_batch, images, (gt_R, gt_t), trained, B
+    return serve_batch, images, (gt_R, gt_t), trained
 
 
 def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
-            verify_topk: int = 0):
+            verify_topk: int = 0, arch: str = "dense"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -125,14 +156,13 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
     from dsac_tpu.geometry.loss import pose_errors
     from dsac_tpu.geometry.pose import Pose
 
-    serve_batch, images, (gt_R, gt_t), trained, B = build(on_tpu, batch,
-                                                          verify_topk)
+    serve_batch, images, (gt_R, gt_t), trained = build(
+        on_tpu, batch, verify_topk, queue, arch)
+    B = batch
 
-    # one fused dispatch serves `queue` batches: scan over a staged
+    # one fused dispatch serves `queue` batches: scan over the staged
     # frame queue so the per-dispatch tunnel latency (~25 ms here)
     # amortises across queue*B frames
-    queue_images = jnp.broadcast_to(images, (queue, *images.shape))
-
     @jax.jit
     def serve_many(key, q_images):
         def body(_, xs):
@@ -143,50 +173,63 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
                                               q_images))
         return R, t
 
-    lowered = serve_many.lower(jax.random.PRNGKey(0), queue_images)
+    lowered = serve_many.lower(jax.random.PRNGKey(0), images)
     compiled = lowered.compile()
     try:
         flops_per_call = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops_per_call = float("nan")
 
-    out = compiled(jax.random.PRNGKey(0), queue_images)  # warmup
+    out = compiled(jax.random.PRNGKey(0), images)  # warmup
     jax.block_until_ready(out)
 
     n = 4 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n):
-        out = compiled(jax.random.PRNGKey(i), queue_images)
+        out = compiled(jax.random.PRNGKey(i), images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     reloc_per_s = n * queue * B / dt
     mfu = flops_per_call * n / dt / TPU_V5E_BF16_PEAK if on_tpu else None
 
-    # accuracy of the served poses (5 cm / 5 deg, core/cnn.h:1249-1256)
+    # accuracy of ALL queue*batch served poses (5 cm / 5 deg,
+    # core/cnn.h:1249-1256)
     R, t = jax.tree.map(np.asarray, out)
-    rot_err, t_err = pose_errors(Pose(jnp.asarray(R[-1]),
-                                      jnp.asarray(t[-1])),
-                                 Pose(gt_R, gt_t))
-    correct = np.asarray((rot_err < 5.0) & (t_err < 50.0))
+    rot_err, t_err = pose_errors(
+        Pose(jnp.asarray(R.reshape(-1, 3, 3)),
+             jnp.asarray(t.reshape(-1, 3))),
+        Pose(gt_R.reshape(-1, 3, 3), gt_t.reshape(-1, 3)))
+    rot_err, t_err = np.asarray(rot_err), np.asarray(t_err)
+    correct = (rot_err < 5.0) & (t_err < 50.0)
     return {
         "reloc_per_s": reloc_per_s,
         "mfu": mfu,
         "accuracy_5cm5deg": float(np.mean(correct)),
+        "median_rot_deg": float(np.median(rot_err)),
+        "median_trans_mm": float(np.median(t_err)),
         "trained_weights": trained,
         "queue": queue,
         "batch": B,
+        "verify_topk": verify_topk,
+        "arch": arch,
     }
 
 
 def main():
-    if "--measure-cpu-baseline" in sys.argv:
+    args = parse_args()
+    config = {"queue": 1 if args.measure_cpu_baseline else args.queue,
+              "batch": args.batch, "verify_topk": args.verify_topk,
+              "arch": args.arch}
+
+    if args.measure_cpu_baseline:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        r = measure(on_tpu=False, queue=1)
+        r = measure(on_tpu=False, **config)
         CPU_BASELINE_FILE.write_text(json.dumps({
             "reloc_per_s": round(r["reloc_per_s"], 3),
+            "config": config,
             "note": "identical serve program on XLA:CPU, all host cores; "
                     "generous stand-in for the CPU(OpenMP)+1-GPU reference",
         }, indent=1))
@@ -196,32 +239,43 @@ def main():
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
+    baseline_note = None
     if CPU_BASELINE_FILE.exists():
-        baseline = json.loads(CPU_BASELINE_FILE.read_text())["reloc_per_s"]
+        rec = json.loads(CPU_BASELINE_FILE.read_text())
+        baseline = rec["reloc_per_s"]
         baseline_src = "measured_cpu"
+        stored = dict(rec.get("config", {}))
+        want = dict(config, queue=1)
+        if stored and stored != want:
+            baseline_note = (f"cpu baseline measured at {stored}, this "
+                             f"run is {want}")
     else:
         baseline = BASELINE_RELOC_PER_S_GUESS
         baseline_src = "literature_estimate"
 
-    def argval(flag, default):
-        return (int(sys.argv[sys.argv.index(flag) + 1])
-                if flag in sys.argv else default)
-
-    r = measure(on_tpu=on_tpu, queue=argval("--queue", 8),
-                batch=argval("--batch", 8),
-                verify_topk=argval("--verify-topk", 0))
-    print(json.dumps({
+    r = measure(on_tpu=on_tpu, queue=args.queue, batch=args.batch,
+                verify_topk=args.verify_topk, arch=args.arch)
+    rec = {
         "metric": "relocalizations_per_s_per_chip",
         "value": round(r["reloc_per_s"], 2),
-        "unit": "frames/s (256 hyps, 640x480, DenseCoordNet+ScoreNet, "
-                f"queue {r['queue']} x batch {r['batch']})",
+        "unit": (f"frames/s (256 hyps, 640x480, {args.arch}+ScoreNet, "
+                 f"{r['queue'] * r['batch']} distinct frames, queue "
+                 f"{r['queue']} x batch {r['batch']}, "
+                 f"verify_topk {r['verify_topk']})"),
         "vs_baseline": round(r["reloc_per_s"] / baseline, 2),
         "baseline_source": baseline_src,
         "mfu_bf16_peak": (round(r["mfu"], 4) if r["mfu"] is not None
                           else None),
         "accuracy_5cm5deg": r["accuracy_5cm5deg"],
+        "verify_topk": r["verify_topk"],
         "trained_weights": r["trained_weights"],
-    }))
+    }
+    if args.medians:
+        rec["median_rot_deg"] = round(r["median_rot_deg"], 4)
+        rec["median_trans_mm"] = round(r["median_trans_mm"], 3)
+    if baseline_note:
+        rec["baseline_note"] = baseline_note
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

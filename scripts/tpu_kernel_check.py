@@ -63,8 +63,8 @@ def _p3p_problem(rng, N=4096, noise=4.0):
         obj = np.stack([rng.uniform(-1000, 1000, 4),
                         rng.uniform(-800, 800, 4),
                         rng.uniform(-500, 500, 4)], -1).astype(np.float32)
-        img = np.asarray(project(Pose(jnp.asarray(R), jnp.asarray(t)),
-                                 jnp.asarray(obj), CAM))
+        img = np.array(project(Pose(jnp.asarray(R), jnp.asarray(t)),
+                               jnp.asarray(obj), CAM))
         img += rng.normal(size=img.shape) * noise
         objs.append(obj)
         imgs.append(img.astype(np.float32))
