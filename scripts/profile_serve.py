@@ -95,16 +95,75 @@ def main(H=256, attempts=16):
     except Exception as e:
         timings["fused_refine_error"] = str(e)[:120]
 
-    refall = lambda R, t, c: jax.vmap(
-        lambda r_, t_: refine_pose(type(sets.poses)(r_, t_), c, pixf, cam,
-                                   steps=8))(R, t)
-    timings["refine_all_H"] = timed(refall, sets.poses.R,
-                                    sets.poses.t, coords, vary=2, reps=5,
-                                    iters=3)
+    if H <= 4096:
+        # vmapped whole-pool refinement: the (H, N, 2, 6) Jacobian pads
+        # to T(4,128) tiles on TPU — at H=16384 that allocation alone is
+        # ~54 GB, and no serve mode refines the full pool at that scale
+        refall = lambda R, t, c: jax.vmap(
+            lambda r_, t_: refine_pose(type(sets.poses)(r_, t_), c, pixf,
+                                       cam, steps=8))(R, t)
+        timings["refine_all_H"] = timed(refall, sets.poses.R,
+                                        sets.poses.t, coords, vary=2,
+                                        reps=5, iters=3)
+
+    from dsac_tpu.ops.select import draw_hypothesis
+    topk = lambda s: jax.lax.top_k(s, 16)
+    scores = jnp.asarray(np.random.default_rng(0).normal(size=(H,)),
+                         jnp.float32)
+    timings["top_k16"] = timed(topk, scores)
+    timings["softmax_draw"] = timed(
+        lambda s: draw_hypothesis(jax.random.PRNGKey(0), s, True), scores)
+
+    try:
+        sampf = functools.partial(sample_minimal_sets, cam=cam,
+                                  cfg=cfg.pose, fused=True)
+        timings["p3p_sampling_fused"] = timed(
+            lambda c: sampf(key, c, pixf), coords, reps=20)
+    except Exception as e:
+        timings["fused_sampling_error"] = str(e)[:120]
+
+    # ---- batch-8 amortized per-frame stage costs (the bench/serve
+    # operating point: batching keeps the CNN matmuls on the MXU) ----
+    B = 8
+    imgs = jnp.stack([rgb] * B)
+    batched = {}
+    cnnb = lambda im: coord_net.apply(cp, im)
+    batched["coord_cnn_dense"] = timed(cnnb, imgs, reps=20) / B
+    coords_b = jnp.stack([coords] * B)
+    sampb = lambda cs: jax.vmap(lambda c: sample_minimal_sets(
+        key, c, pixf, cam, cfg.pose, fused=True).poses.t)(cs)
+    try:
+        batched["p3p_sampling_fused"] = timed(sampb, coords_b,
+                                              reps=20) / B
+    except Exception as e:
+        batched["sampling_error"] = str(e)[:120]
+    try:
+        from dsac_tpu.ops.diffmap_pallas import soft_inlier_scores_pallas
+        cam_vec = jnp.asarray([float(cam.focal), float(cam.cx),
+                               float(cam.cy)], jnp.float32)
+        scb = lambda cs: jax.vmap(lambda c: soft_inlier_scores_pallas(
+            sets.poses.R, sets.poses.t, c, pixf, cam_vec))(cs)
+        batched["scores_fused"] = timed(scb, coords_b, reps=20) / B
+        dmb = lambda cs: jax.vmap(lambda c: score_net.apply(
+            sp, diffmaps(sets.poses, c, pixf, cam).reshape(-1, 40, 40)))(
+                cs)
+        batched["diffmaps_plus_score_cnn"] = timed(dmb, coords_b,
+                                                   reps=20) / B
+        from dsac_tpu.ops.gn_pallas import refine_pose_fused
+        refb = lambda cs: jax.vmap(lambda c: refine_pose_fused(
+            type(sets.poses)(sets.poses.R[:1], sets.poses.t[:1]), c, pixf,
+            cam, steps=16)[0].t)(cs)
+        batched["refine_winner_fused"] = timed(refb, coords_b,
+                                               reps=20) / B
+    except Exception as e:
+        batched["pallas_error"] = str(e)[:120]
 
     out = {k: (round(v * 1000, 3) if isinstance(v, float) else v)
            for k, v in timings.items()}
-    print(json.dumps({"H": H, "attempts": attempts, "ms": out}, indent=2))
+    outb = {k: (round(v * 1000, 3) if isinstance(v, float) else v)
+            for k, v in batched.items()}
+    print(json.dumps({"H": H, "attempts": attempts, "ms": out,
+                      "ms_per_frame_batch8": outb}, indent=2))
 
 
 if __name__ == "__main__":
