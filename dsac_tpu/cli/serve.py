@@ -34,7 +34,7 @@ from dsac_tpu.cli import common
 
 def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
                 score_params, score_apply, use_score_net, images, frames,
-                have_gt):
+                have_gt, source=None):
     """--mesh DxH serving: hyp-sharded SPMD over a device mesh.
 
     Frames shard over 'data', the hypothesis pool (and, for dense archs,
@@ -99,6 +99,17 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
     last = outs[-Q:]
     R = np.concatenate([np.asarray(o[0]) for o in last])  # (Q*B, 3, 3)
     t = np.concatenate([np.asarray(o[1]) for o in last])
+
+    if args.export_poses:
+        from dsac_tpu.data.seven_scenes import write_pose_file
+        translation_m = getattr(getattr(source, "ds", None),
+                                "translation", None)
+        pose_dir = Path(args.export_poses)
+        pose_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(frames)):
+            write_pose_file(pose_dir / f"frame-{i:06d}.pose.txt",
+                            R[i], t[i], translation_m)
+        print(green(f"Exported {len(frames)} poses to {pose_dir}"))
 
     acc = None
     if have_gt:
@@ -180,7 +191,8 @@ def main(argv=None):
     if args.mesh:
         return _serve_mesh(args, cfg, cam, coord_net, coord_apply,
                            coord_params, score_params, score_apply,
-                           use_score_net, images, frames, have_gt)
+                           use_score_net, images, frames, have_gt,
+                           source=source)
 
     serve_batch = functools.partial(
         process_frames_batched,
