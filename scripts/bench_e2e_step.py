@@ -46,11 +46,14 @@ def main():
     state = make_e2e_state(cp, sp)
 
     for mode in modes:
-        rm = False if mode == "unroll" else mode
+        # "softam_<mode>" benches the soft-argmax objective's round
+        softam = mode.startswith("softam_")
+        rm = mode[len("softam_"):] if softam else mode
+        rm = False if rm == "unroll" else rm
         import functools
         step_fn = jax.jit(functools.partial(
             e2e_step, coord_apply=coord_apply, score_apply=score_apply,
-            cam=cam, cfg=cfg, softam=False, refine_mode=rm))
+            cam=cam, cfg=cfg, softam=softam, refine_mode=rm))
         t0 = time.perf_counter()
         s, loss, aux = step_fn(state, jax.random.PRNGKey(3), rgb, pose)
         jax.block_until_ready(loss)
