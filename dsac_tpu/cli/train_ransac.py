@@ -178,9 +178,6 @@ def main(argv=None, softam: bool = False):
         # FCN rows via halo exchange) sharded over 'hyp'.  One mesh step
         # trains n_data frames jointly — the data-parallel generalisation
         # of the reference's one-frame round (train_ransac.cpp:241). ---
-        if args.softam:
-            raise SystemExit("--mesh currently supports the DSAC "
-                             "objective; run softam single-chip")
         from dsac_tpu.parallel import sharded_e2e_step
         from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
         from dsac_tpu.pipeline.train import e2e_optimizers
@@ -196,7 +193,8 @@ def main(argv=None, softam: bool = False):
         step = sharded_e2e_step(mesh, capply, score_apply, cam, cfg,
                                 c_opt, s_opt,
                                 coord_collective=coord_collective,
-                                refine_mode=refine_mode)
+                                refine_mode=refine_mode,
+                                softam=args.softam)
         images = jnp.asarray(
             np.stack([source.get(i).rgb for i in range(len(source))]))
         gt_R = jnp.asarray(np.stack(

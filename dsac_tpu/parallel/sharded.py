@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dsac_tpu.config import Camera, DSACConfig
 from dsac_tpu.geometry.loss import max_loss
-from dsac_tpu.geometry.pose import Pose
+from dsac_tpu.geometry.pose import Pose, pose_from_vec6, pose_to_vec6
 from dsac_tpu.ops.diffmap import diffmaps
 from dsac_tpu.ops.sampling import sample_minimal_sets, stratified_sample
 from dsac_tpu.ops.select import shannon_entropy
@@ -141,7 +141,7 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
                           coord_fn: Callable, score_fn: Callable,
                           cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
                           gt_pose: Pose, coord_collective: bool = False,
-                          refine_mode=False):
+                          refine_mode=False, softam: bool = False):
     """Per-device body (inside shard_map) for ONE frame.
 
     Returns (expected_loss, aux) where expected_loss is the full-pool
@@ -161,6 +161,13 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     scan; "implicit" runs the fused Pallas forward with implicit-function
     gradients (the fast multi-chip TRAINING mode — same semantics as the
     single-chip e2e_step's); "implicit_jnp" is its CPU-testable twin.
+
+    softam=True switches to the soft-argmax objective
+    (cnn_softam.h:960-1180): the softmax weights AVERAGE the pool's
+    (rodrigues, t) 6-vectors — a psum over 'hyp' — and only the averaged
+    pose is refined (replicated per shard), maxLoss of the result being
+    the objective.  The local pool is never refined, so softam shards
+    only the front end (CNN + sampling + scoring).
     """
     pcfg = cfg.pose
     H_local = pcfg.num_hypotheses // n_hyp_shards
@@ -197,6 +204,24 @@ def sharded_process_frame(key: jax.Array, image: jnp.ndarray,
     scores = jax.lax.all_gather(scores_local, HYP_AXIS, tiled=True)  # (H,)
     probs = jax.nn.softmax(scores)
     probs_local = _local_slice(probs, HYP_AXIS, n_hyp_shards)
+
+    if softam:
+        # softmax-weighted pool average via psum (cnn_softam.h:1082-1094)
+        vecs_local = pose_to_vec6(sets.poses)  # (H_local, 6)
+        avg_vec = jax.lax.psum(
+            jnp.sum(probs_local[:, None] * vecs_local, axis=0), HYP_AXIS)
+        avg = pose_from_vec6(avg_vec)
+        _, refine_one = make_refiners(coords, pixf, cam, pcfg,
+                                      refine_mode, inject_init=True)
+        final, _n_in = refine_one(avg)
+        objective = max_loss(final, gt_pose)
+        aux = {
+            "entropy": shannon_entropy(probs),
+            "winner_loss": objective,
+            "valid_hyps": jax.lax.psum(jnp.sum(sets.valid), HYP_AXIS),
+            "final_pose": final,
+        }
+        return objective, aux
 
     # --- refinement of the local shard (core/cnn.h:1168-1230, the
     # OpenMP axis being scaled; kernel/gradient mode per make_refiners) ---
@@ -449,7 +474,7 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
                           coord_apply: Callable, score_apply: Callable,
                           cam: Camera, cfg: DSACConfig, n_hyp_shards: int,
                           coord_collective: bool = False,
-                          refine_mode=False):
+                          refine_mode=False, softam: bool = False):
     """Mean expected loss over this device's local frame batch.
 
     Per-device body: vmaps sharded_process_frame over the local frames and
@@ -465,7 +490,7 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
             lambda dm: score_apply(score_params, dm), cam, cfg,
             n_hyp_shards, Pose(gt_R, gt_t),
             coord_collective=coord_collective,
-            refine_mode=refine_mode)
+            refine_mode=refine_mode, softam=softam)
 
     losses, aux = jax.vmap(one_frame)(keys, images, gt_poses.R, gt_poses.t)
     local_mean = jnp.mean(losses)
@@ -478,7 +503,7 @@ def sharded_expected_loss(coord_params, score_params, keys: jax.Array,
 def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
                      score_apply: Callable, cam: Camera, cfg: DSACConfig,
                      coord_opt, score_opt, coord_collective: bool = False,
-                     refine_mode="auto"):
+                     refine_mode="auto", softam: bool = False):
     """Build the jitted multi-device end-to-end training step.
 
     Returns step(state_tuple, keys, images, gt_R, gt_t) where
@@ -503,7 +528,8 @@ def sharded_e2e_step(mesh: Mesh, coord_apply: Callable,
                                          Pose(gt_R, gt_t), coord_apply,
                                          score_apply, cam, cfg, n_hyp,
                                          coord_collective=coord_collective,
-                                         refine_mode=refine_mode)
+                                         refine_mode=refine_mode,
+                                         softam=softam)
 
         (loss, aux), (g_c, g_s) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(coord_params,

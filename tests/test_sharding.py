@@ -272,6 +272,28 @@ class TestShardedPipeline:
         assert losses[-1] < losses[0] * 0.7, losses
         assert float(jnp.linalg.norm(cp["bias"])) < 100.0
 
+    def test_sharded_softam_training_step_improves(self):
+        # the soft-argmax objective over the mesh: pool average via psum
+        # over 'hyp', single refined pose, maxLoss objective; the coord
+        # bias must still be learnable through the averaged pose
+        mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
+            self._build(2, 4, 2, H=32)
+        c_opt = optax.adam(15.0)
+        s_opt = optax.sgd(1e-7, momentum=0.9)
+        step = sharded_e2e_step(mesh, coord_apply, score_apply, CAM, cfg,
+                                c_opt, s_opt, softam=True,
+                                refine_mode="implicit_jnp")
+        c_state = c_opt.init(cp)
+        s_state = s_opt.init(sp)
+        losses = []
+        for i in range(10):
+            keys = jax.random.split(jax.random.PRNGKey(300 + i), 2)
+            cp, sp, c_state, s_state, loss, aux = step(
+                cp, sp, c_state, s_state, keys, maps, gt.R, gt.t)
+            losses.append(float(loss))
+        assert np.all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0] * 0.7, losses
+
     def test_sharded_training_step_improves(self):
         mesh, cfg, maps, gt, coord_apply, score_apply, cp, sp = \
             self._build(2, 4, 2, H=32)
