@@ -21,7 +21,18 @@ sys.path.insert(0, ".")
 
 
 def main():
-    hyps = [int(h) for h in sys.argv[1:]] or [256, 4096, 16384]
+    # optional "--attempts N" anywhere in argv: P3P candidate sets per
+    # hypothesis (default PoseConfig's 16).  The sampling stage is the
+    # dominant large-H cost (H x attempts solves); huge pools tolerate
+    # fewer attempts because pool redundancy replaces per-hypothesis
+    # retries.
+    argv = sys.argv[1:]
+    attempts = None
+    if "--attempts" in argv:
+        i = argv.index("--attempts")
+        attempts = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    hyps = [int(h) for h in argv] or [256, 4096, 16384]
 
     from dsac_tpu.config import DSACConfig, PoseConfig
     from dsac_tpu.data.synthetic import SyntheticScene
@@ -43,8 +54,9 @@ def main():
     images = jnp.broadcast_to(rgb, (B, *rgb.shape))
 
     for H in hyps:
+        kw = {} if attempts is None else {"sample_attempts": attempts}
         cfg = DSACConfig(pose=PoseConfig(num_hypotheses=H,
-                                         random_draw=False))
+                                         random_draw=False, **kw))
 
         @jax.jit
         def serve(keys):
