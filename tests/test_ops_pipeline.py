@@ -274,6 +274,16 @@ class TestFullPipeline:
                              verify_topk=4)
         rot_err, t_err = pose_errors(res2.final, pose)
         assert float(rot_err) < 5.0 and float(t_err) < 50.0
+        # refined_mask flags exactly the refined slots per mode
+        assert int(np.asarray(res2.refined_mask).sum()) == 4
+        assert bool(np.asarray(res2.refined_mask)[int(res2.chosen)])
+        res3 = process_frame(jax.random.PRNGKey(8), rgb, fn,
+                             self._score_fn, CAM, cfg, refine_all=False)
+        mask3 = np.asarray(res3.refined_mask)
+        assert mask3.sum() == 1 and bool(mask3[int(res3.chosen)])
+        res4 = process_frame(jax.random.PRNGKey(8), rgb, fn,
+                             self._score_fn, CAM, cfg, refine_all=True)
+        assert np.asarray(res4.refined_mask).all()
 
     def test_pipeline_jits(self, frame_and_oracle):
         pose, rgb, fn = frame_and_oracle
