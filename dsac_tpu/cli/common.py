@@ -148,10 +148,11 @@ def parse_mesh(spec: str | None):
     from dsac_tpu.parallel import make_mesh
     if not spec:
         return None
+    spec = spec.lower()
     if spec == "auto":
         return make_mesh(1, len(jax.devices()))
     try:
-        d, h = spec.lower().split("x")
+        d, h = spec.split("x")
         return make_mesh(int(d), int(h))
     except ValueError as e:
         raise SystemExit(f"--mesh must be DxH or 'auto', got {spec!r}: {e}")
@@ -192,6 +193,45 @@ def frame_source(args, cfg: DSACConfig, split_hint: str = "training"):
     # seed keys the camera-pose set: different --seed values give DISJOINT
     # viewpoint sets of the same scene (training vs test splits)
     return SyntheticSource(n, seed=args.seed)
+
+
+def soft_inlier_score_fn(cfg: DSACConfig):
+    """Parameter-free scoring head: soft-inlier counts of the (H, G, G)
+    diff-maps — the eval/serve fallback when no score CNN is trained
+    (shared by serve/test_ransac/refine_ba)."""
+    from dsac_tpu.ops.diffmap import soft_inlier_scores
+
+    def fn(dm):
+        return soft_inlier_scores(dm.reshape(dm.shape[0], -1),
+                                  cfg.pose.inlier_threshold_2d,
+                                  cfg.pose.score_beta)
+
+    return fn
+
+
+def stage_frame_pool(source, rng, cap: int = 512):
+    """Stage ≤cap frames (+GT poses) on device in ONE pass over source.
+
+    The fused training loops keep the frame pool in HBM; staging an
+    unbounded --data split (thousands of frames, re-decoded per field)
+    would blow host memory, tunnel time, and HBM.  A random ≤cap subset
+    preserves the reference's sample-a-random-frame schedule over a
+    bounded pool.  Returns (images, gt_R, gt_t) device arrays.
+    """
+    n = len(source)
+    idx = (np.arange(n) if n <= cap
+           else np.sort(rng.choice(n, size=cap, replace=False)))
+    rgbs, Rs, ts = [], [], []
+    for i in idx:
+        f = source.get(int(i))
+        rgbs.append(f.rgb)
+        Rs.append(np.asarray(f.pose.R))
+        ts.append(np.asarray(f.pose.t))
+    if n > cap:
+        print(f"Staging {cap} of {n} frames on device "
+              f"(bounded pool; raise --stage-frames to widen).")
+    return (jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(Rs)),
+            jnp.asarray(np.stack(ts)))
 
 
 def build_models(args, cfg: DSACConfig):

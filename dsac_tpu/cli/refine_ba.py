@@ -167,11 +167,8 @@ def main(argv=None):
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:
-        from dsac_tpu.ops.diffmap import soft_inlier_scores
         print(blue("Scoring with the soft-inlier head."))
-        score_fn = lambda dm: soft_inlier_scores(
-            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
-            cfg.pose.score_beta)
+        score_fn = common.soft_inlier_score_fn(cfg)
 
     print(blue(f"Serving {K} keyframes ({coord_src} weights) ..."))
     served, coords, pix, weights = _serve_keyframes(
@@ -203,10 +200,36 @@ def main(argv=None):
                               / jnp.sum(prob.weights)))
 
     rmse0 = wrmse(served, prob.points)
-    ba = jax.jit(functools.partial(
-        bundle_adjust, cam=cam, iters=args.ba_iters,
-        damping=args.ba_damping, point_prior=args.point_prior,
-        fix_first_pose=(args.point_prior == 0.0)))
+    if args.mesh:
+        # distributed BA: observations partitioned by keyframe over
+        # 'data' (frame-major layout -> contiguous per-device blocks),
+        # Schur accumulators psum'd (parallel/ba.py)
+        from jax.sharding import PartitionSpec as P
+        from dsac_tpu.parallel.ba import distributed_bundle_adjust
+        from dsac_tpu.parallel.mesh import DATA_AXIS
+        mesh = common.parse_mesh(args.mesh)
+        n_data = mesh.shape[DATA_AXIS]
+        if K % n_data:
+            raise SystemExit(f"--keyframes {K} not divisible by data "
+                             f"axis {n_data}")
+        ba = jax.jit(jax.shard_map(
+            functools.partial(
+                distributed_bundle_adjust, cam=cam, axis_name=DATA_AXIS,
+                iters=args.ba_iters, damping=args.ba_damping,
+                point_prior=args.point_prior,
+                fix_first_pose=(args.point_prior == 0.0)),
+            mesh=mesh,
+            in_specs=(BAProblem(Pose(P(), P()), P(), P(DATA_AXIS),
+                                P(DATA_AXIS), P(DATA_AXIS),
+                                P(DATA_AXIS)),),
+            out_specs=(Pose(P(), P()), P()),
+            check_vma=False,
+        ))
+    else:
+        ba = jax.jit(functools.partial(
+            bundle_adjust, cam=cam, iters=args.ba_iters,
+            damping=args.ba_damping, point_prior=args.point_prior,
+            fix_first_pose=(args.point_prior == 0.0)))
     poses_ba, points_ba = ba(prob)
     rmse1 = wrmse(poses_ba, points_ba)
 

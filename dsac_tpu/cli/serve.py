@@ -62,10 +62,8 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
     if use_score_net:
         sapply = score_apply
     else:
-        from dsac_tpu.ops.diffmap import soft_inlier_scores
-        sapply = lambda params, dm: soft_inlier_scores(
-            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
-            cfg.pose.score_beta)
+        soft_fn = common.soft_inlier_score_fn(cfg)
+        sapply = lambda params, dm: soft_fn(dm)
         score_params = {}
 
     refine_mode = ("auto" if args.fused_refine is None
@@ -106,10 +104,15 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
                                 "translation", None)
         pose_dir = Path(args.export_poses)
         pose_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(len(frames)):
+        # only the DISTINCT frames (the staged queue wraps around the
+        # source; duplicates would mint pose files for frame indices
+        # that don't exist in the dataset), like the single-chip path
+        n_distinct = min(len(source), len(frames)) if source else \
+            len(frames)
+        for i in range(n_distinct):
             write_pose_file(pose_dir / f"frame-{i:06d}.pose.txt",
                             R[i], t[i], translation_m)
-        print(green(f"Exported {len(frames)} poses to {pose_dir}"))
+        print(green(f"Exported {n_distinct} poses to {pose_dir}"))
 
     acc = None
     if have_gt:
@@ -174,11 +177,8 @@ def main(argv=None):
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:
-        from dsac_tpu.ops.diffmap import soft_inlier_scores
         print(blue("Scoring with the soft-inlier head."))
-        score_fn = lambda dm: soft_inlier_scores(
-            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
-            cfg.pose.score_beta)
+        score_fn = common.soft_inlier_score_fn(cfg)
 
     # ---- stage the frame queue on device: (queue, batch, H, W, 3) ----
     B, Q = args.batch, args.queue

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsac_tpu.ops.diffmap import soft_inlier_scores
 from dsac_tpu.pipeline import (evaluate_frame, process_frame,
                                process_frame_softam, summarize,
                                verified_selection)
@@ -70,9 +69,7 @@ def main(argv=None, softam: bool = False):
         score_fn = lambda dm: score_apply(score_params, dm)
     else:
         print(blue("Scoring with the soft-inlier head."))
-        score_fn = lambda dm: soft_inlier_scores(
-            dm.reshape(dm.shape[0], -1), cfg.pose.inlier_threshold_2d,
-            cfg.pose.score_beta)
+        score_fn = common.soft_inlier_score_fn(cfg)
 
     fwd = process_frame_softam if args.softam else process_frame
     extra = ({"refine_mode": "fused" if args.fused_refine else False}

@@ -35,6 +35,9 @@ def main(argv=None, softam: bool = False):
     p.add_argument("--validate-every", type=int, default=0,
                    help="run a held-out validation pass every N rounds")
     p.add_argument("--validate-frames", type=int, default=8)
+    p.add_argument("--stage-frames", type=int, default=512,
+                   help="max frames staged on device for the fused/mesh "
+                        "paths (bounds HBM/tunnel cost on big splits)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="fuse this many training rounds into one device "
                         "dispatch (lax.scan over a prestaged frame pool; "
@@ -150,14 +153,19 @@ def main(argv=None, softam: bool = False):
 
         val_fn = validate
 
-    def maybe_validate_snapshot(rnd, state):
-        if val_fn is not None and (rnd + 1) % args.validate_every == 0:
+    def maybe_validate_snapshot(rnd, state, block: int = 1):
+        # `block` = rounds consumed since the last call (steps-per-call /
+        # mesh data-parallel paths advance several rounds at once);
+        # boundary-CROSSING tests rather than exact-hit tests, so no
+        # cadence is skipped when the block size doesn't divide it
+        crossed = lambda every: (rnd + 1) // every > (rnd + 1 - block) // every
+        if val_fn is not None and crossed(args.validate_every):
             acc, exp = val_fn(state)
             val_log.append(rnd, exp, {"accuracy": acc})
             print(blue(f"validation @ round {rnd}: accuracy "
                        f"{acc * 100:.1f}%, E[loss] {exp:.2f}"))
-        if (rnd + 1) % args.snapshot_every == 0 \
-                or rnd == args.training_rounds - 1:
+        if crossed(args.snapshot_every) \
+                or rnd >= args.training_rounds - 1:
             ckpt.save(args.out, obj_name,
                       {"params": state.coord_params,
                        "opt_state": state.coord_opt,
@@ -195,26 +203,24 @@ def main(argv=None, softam: bool = False):
                                 coord_collective=coord_collective,
                                 refine_mode=refine_mode,
                                 softam=args.softam)
-        images = jnp.asarray(
-            np.stack([source.get(i).rgb for i in range(len(source))]))
-        gt_R = jnp.asarray(np.stack(
-            [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
-        gt_t = jnp.asarray(np.stack(
-            [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
+        images, gt_R, gt_t = common.stage_frame_pool(source, rng,
+                                                     args.stage_frames)
+        pool = images.shape[0]
         print(blue(f"Mesh {dict(mesh.shape)}: {n_data} frames/step, "
                    f"H {cfg.pose.num_hypotheses} over {n_hyp} shards."))
         rnd = start_round
         while rnd < args.training_rounds:
-            idx = jnp.asarray(rng.integers(len(source), size=n_data),
-                              jnp.int32)
+            idx = jnp.asarray(rng.integers(pool, size=n_data), jnp.int32)
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(2 ** 31))), n_data)
             cp, sp, c_state, s_state, loss, aux = step(
                 state.coord_params, state.score_params, state.coord_opt,
                 state.score_opt, keys, images[idx], gt_R[idx], gt_t[idx])
+            # step counts ROUNDS (frames consumed), like the single-chip
+            # paths, so resume and snapshots stay interchangeable
             state = state._replace(
                 coord_params=cp, score_params=sp, coord_opt=c_state,
-                score_opt=s_state, step=state.step + 1)
+                score_opt=s_state, step=state.step + n_data)
             log.append(rnd, float(loss), {
                 "entropy": float(aux["entropy"]),
                 "valid": float(aux["valid_hyps"])})
@@ -223,7 +229,7 @@ def main(argv=None, softam: bool = False):
                 print(f"round {rnd - 1}: E[loss] {float(loss):.3f} "
                       f"entropy {float(aux['entropy']):.2f} "
                       f"valid {int(aux['valid_hyps'])}")
-            maybe_validate_snapshot(rnd - 1, state)
+            maybe_validate_snapshot(rnd - 1, state, block=n_data)
         print(green("End-to-end training complete."))
         return state
 
@@ -234,12 +240,8 @@ def main(argv=None, softam: bool = False):
         # e2e_step_many).  Snapshot/validation cadence is quantised to
         # the block boundary.
         from dsac_tpu.pipeline.train import e2e_step_many
-        images = jnp.asarray(
-            np.stack([source.get(i).rgb for i in range(len(source))]))
-        gt_R = jnp.asarray(np.stack(
-            [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
-        gt_t = jnp.asarray(np.stack(
-            [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
+        images, gt_R, gt_t = common.stage_frame_pool(source, rng,
+                                                     args.stage_frames)
         many_fn = jax.jit(functools.partial(
             e2e_step_many, coord_apply=coord_apply,
             score_apply=score_apply, cam=cam, cfg=cfg, softam=args.softam,
@@ -247,7 +249,8 @@ def main(argv=None, softam: bool = False):
         rnd = start_round
         while rnd < args.training_rounds:
             k = min(spc, args.training_rounds - rnd)
-            idx = jnp.asarray(rng.integers(len(source), size=k), jnp.int32)
+            idx = jnp.asarray(rng.integers(images.shape[0], size=k),
+                              jnp.int32)
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(2 ** 31))), k)
             state, losses, aux = many_fn(state, keys, idx, images,
@@ -264,7 +267,7 @@ def main(argv=None, softam: bool = False):
             rnd += k
             print(f"round {rnd - 1}: E[loss] {float(losses[-1]):.3f} "
                   f"entropy {float(ent[-1]):.2f} valid {int(val[-1])}")
-            maybe_validate_snapshot(rnd - 1, state)
+            maybe_validate_snapshot(rnd - 1, state, block=k)
         print(green("End-to-end training complete."))
         return state
 

@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--frames-per-round", type=int, default=100)
     p.add_argument("--hyps-per-frame", type=int, default=16)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--stage-frames", type=int, default=512,
+                   help="max frames staged on device for the fused "
+                        "rounds (bounds HBM/tunnel cost on big splits)")
     p.add_argument("--lr", type=float, default=1e-4,
                    help="Adam lr (reference 1e-4, train_score.lua:13); the "
                         "labels are O(-100), so short demo runs benefit "
@@ -69,12 +72,9 @@ def main(argv=None):
     # dispatch (pipeline/train.py:score_pretrain_round) instead of the
     # reference's ~30 host/device boundaries (train_score.cpp:271-373)
     n_f = max(1, args.frames_per_round // 10)
-    images_d = jnp.asarray(
-        np.stack([source.get(i).rgb for i in range(len(source))]))
-    gt_R = jnp.asarray(np.stack(
-        [np.asarray(source.get(i).pose.R) for i in range(len(source))]))
-    gt_t = jnp.asarray(np.stack(
-        [np.asarray(source.get(i).pose.t) for i in range(len(source))]))
+    images_d, gt_R, gt_t = common.stage_frame_pool(source, rng,
+                                                   args.stage_frames)
+    pool = images_d.shape[0]
 
     # images/gt/coord_params are call ARGUMENTS, not jit-captured
     # constants: a closed-over 512-frame pool would be inlined into the
@@ -87,7 +87,7 @@ def main(argv=None):
     log = TrainingLog(f"{args.out}/score_training_loss.txt")
     update = 0
     for rnd in range(args.training_rounds):
-        fidx = jnp.asarray(rng.integers(len(source), size=n_f), jnp.int32)
+        fidx = jnp.asarray(rng.integers(pool, size=n_f), jnp.int32)
         keys = jax.random.split(
             jax.random.PRNGKey(int(rng.integers(2 ** 31))), n_f)
         perm = jnp.asarray(
