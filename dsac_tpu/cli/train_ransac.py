@@ -206,6 +206,13 @@ def main(argv=None, softam: bool = False):
         images, gt_R, gt_t = common.stage_frame_pool(source, rng,
                                                      args.stage_frames)
         pool = images.shape[0]
+        # orbax-restored params are COMMITTED to a single device; re-place
+        # them replicated over the mesh or shard_map rejects the inputs
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, rep)
+            if isinstance(x, jax.Array) else x, state)
         print(blue(f"Mesh {dict(mesh.shape)}: {n_data} frames/step, "
                    f"H {cfg.pose.num_hypotheses} over {n_hyp} shards."))
         rnd = start_round

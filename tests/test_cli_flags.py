@@ -331,3 +331,11 @@ class TestCliSmoke:
         loss = (tmp_path / "out" /
                 "ransac_training_loss_e2e.txt").read_text()
         assert len(loss.splitlines()) == 2  # 4 rounds / 2 frames-per-step
+        # resume counts ROUNDS (not mesh steps): a re-run with a larger
+        # budget restarts exactly at round 4
+        res = self._run_mesh("dsac_tpu.cli.train_ransac",
+                             ["--synthetic", "2", "--rounds", "8",
+                              "--width-mult", "0.125", "-rI", "16",
+                              "--mesh", "2x4",
+                              "--out", str(tmp_path / "out")], tmp_path)
+        assert "Resumed end-to-end training at round 4" in res.stdout
