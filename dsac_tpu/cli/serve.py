@@ -76,6 +76,14 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
                                scoring=("fused_soft" if args.fused_scoring
                                         else "cnn"))
 
+    # orbax-restored params are COMMITTED to a single device; re-place
+    # them replicated over the mesh or shard_map rejects the inputs
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    coord_params, score_params = jax.tree.map(
+        lambda x: jax.device_put(x, rep) if isinstance(x, jax.Array)
+        else x, (coord_params, score_params))
+
     keys = jnp.stack([
         jax.random.split(jax.random.PRNGKey(args.seed + q), B)
         for q in range(Q)])  # (Q, B, 2)

@@ -304,11 +304,17 @@ class TestCliSmoke:
     def test_serve_cli_mesh_smoke(self, tmp_path):
         # the multi-chip serving PROGRAM: --mesh DxH routes through
         # sharded_serve_step (frames over 'data', hypothesis pool +
-        # dense-FCN rows over 'hyp')
+        # dense-FCN rows over 'hyp'); serving a RESTORED snapshot
+        # exercises the committed-array re-placement (orbax restores
+        # pin arrays to one device, which shard_map would reject)
+        self._run("dsac_tpu.cli.train_obj",
+                  ["--synthetic", "1", "--rounds", "2", "--width-mult",
+                   "0.125", "--out", str(tmp_path / "out")], tmp_path)
         res = self._run_mesh("dsac_tpu.cli.serve",
-                             ["--synthetic", "2", "--model", "none",
+                             ["--synthetic", "2", "--model", "init",
                               "--width-mult", "0.125", "--batch", "2",
                               "--queue", "2", "--reps", "1", "-rI", "16",
+                              "--out", str(tmp_path / "out"),
                               "--mesh", "2x4"], tmp_path)
         line = [l for l in res.stdout.splitlines()
                 if l.startswith("{")][-1]
