@@ -60,6 +60,16 @@ def parse_args(argv=None):
                          "0.95 -> 1.0 by absorbing score-CNN misdraws")
     ap.add_argument("--arch", choices=["dense", "dense_s2d"],
                     default="dense")
+    ap.add_argument("--attempts", type=int, default=4,
+                    help="P3P candidate minimal sets per hypothesis "
+                         "(PoseConfig.sample_attempts; reference retries "
+                         "until valid, core/cnn.h:1079-1129 — training "
+                         "keeps the conservative 16). Sampling is the "
+                         "2nd-largest serve stage; the pool + verify_topk "
+                         "consensus absorb the rare degenerate set, so "
+                         "serve needs few attempts: measured 16/4/2 -> "
+                         "636.8/689.5/704.6 reloc/s, all accuracy 1.0 "
+                         "with identical medians (BASELINE.md)")
     ap.add_argument("--medians", action="store_true",
                     help="add median rot/trans errors to the JSON line")
     ap.add_argument("--measure-cpu-baseline", action="store_true",
@@ -69,7 +79,7 @@ def parse_args(argv=None):
 
 
 def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
-          arch: str):
+          arch: str, attempts: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +92,8 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
 
     scene = SyntheticScene()
     cam = scene.camera
-    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=256, random_draw=False))
+    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=256, random_draw=False,
+                                     sample_attempts=attempts))
 
     coord_net = DenseCoordNet(s2d=(arch == "dense_s2d"))
     score_net = ScoreNet()
@@ -152,7 +163,7 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
 
 
 def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
-            verify_topk: int = 0, arch: str = "dense"):
+            verify_topk: int = 0, arch: str = "dense", attempts: int = 16):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -161,7 +172,7 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
     from dsac_tpu.geometry.pose import Pose
 
     serve_batch, images, (gt_R, gt_t), trained = build(
-        on_tpu, batch, verify_topk, queue, arch)
+        on_tpu, batch, verify_topk, queue, arch, attempts)
     B = batch
 
     # one fused dispatch serves `queue` batches: scan over the staged
@@ -217,6 +228,7 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
         "batch": B,
         "verify_topk": verify_topk,
         "arch": arch,
+        "attempts": attempts,
     }
 
 
@@ -224,7 +236,7 @@ def main():
     args = parse_args()
     config = {"queue": 1 if args.measure_cpu_baseline else args.queue,
               "batch": args.batch, "verify_topk": args.verify_topk,
-              "arch": args.arch}
+              "arch": args.arch, "attempts": args.attempts}
 
     if args.measure_cpu_baseline:
         import jax
@@ -249,6 +261,8 @@ def main():
         baseline = rec["reloc_per_s"]
         baseline_src = "measured_cpu"
         stored = dict(rec.get("config", {}))
+        if stored:
+            stored.setdefault("attempts", 16)  # pre-flag baselines
         want = dict(config, queue=1)
         if stored and stored != want:
             baseline_note = (f"cpu baseline measured at {stored}, this "
@@ -258,7 +272,8 @@ def main():
         baseline_src = "literature_estimate"
 
     r = measure(on_tpu=on_tpu, queue=args.queue, batch=args.batch,
-                verify_topk=args.verify_topk, arch=args.arch)
+                verify_topk=args.verify_topk, arch=args.arch,
+                attempts=args.attempts)
     rec = {
         "metric": "relocalizations_per_s_per_chip",
         "value": round(r["reloc_per_s"], 2),
@@ -272,6 +287,7 @@ def main():
                           else None),
         "accuracy_5cm5deg": r["accuracy_5cm5deg"],
         "verify_topk": r["verify_topk"],
+        "attempts": r["attempts"],
         "trained_weights": r["trained_weights"],
     }
     if args.medians:

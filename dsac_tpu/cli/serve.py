@@ -168,7 +168,19 @@ def main(argv=None):
                         "kernel instead of the score CNN (the very-"
                         "large-H regime: the (H, N) surface never "
                         "materialises in HBM)")
+    p.add_argument("--attempts", type=int, default=None,
+                   help="P3P candidate minimal sets per hypothesis "
+                        "(default PoseConfig.sample_attempts=16, the "
+                        "bounded analogue of the reference's retry loop, "
+                        "core/cnn.h:1079-1129). Sampling dominates the "
+                        "large-H serve cost; big pools tolerate fewer "
+                        "attempts because pool redundancy replaces "
+                        "per-hypothesis retries (BASELINE.md)")
     args, cfg, strings = common.parse_with_flags(p, argv)
+    if args.attempts is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pose=dataclasses.replace(
+            cfg.pose, sample_attempts=args.attempts))
 
     if args.fused_refine is None:
         args.fused_refine = jax.default_backend() == "tpu"

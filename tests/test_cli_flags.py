@@ -278,6 +278,7 @@ class TestCliSmoke:
                         ["--synthetic", "2", "--model", "none",
                          "--width-mult", "0.125", "--batch", "2",
                          "--queue", "2", "--reps", "1", "-rI", "16",
+                         "--attempts", "4",  # sampling lever (BASELINE.md)
                          "--export-poses", str(tmp_path / "poses")],
                         tmp_path)
         line = [l for l in res.stdout.splitlines()
