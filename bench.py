@@ -70,6 +70,11 @@ def parse_args(argv=None):
                          "serve needs few attempts: measured 16/4/2 -> "
                          "636.8/689.5/704.6 reloc/s, all accuracy 1.0 "
                          "with identical medians (BASELINE.md)")
+    ap.add_argument("--fused-scoring", action="store_true",
+                    help="score with the fused reprojection+soft-inlier "
+                         "kernel instead of the trained score CNN (as "
+                         "cli/serve.py --fused-scoring; the (H, N) error "
+                         "surface never materialises in HBM)")
     ap.add_argument("--medians", action="store_true",
                     help="add median rot/trans errors to the JSON line")
     ap.add_argument("--measure-cpu-baseline", action="store_true",
@@ -79,7 +84,7 @@ def parse_args(argv=None):
 
 
 def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
-          arch: str, attempts: int = 16):
+          arch: str, attempts: int = 16, fused_scoring: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +161,8 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
                                      cam, cfg, refine_all=False,
                                      fused_refine=on_tpu,
                                      fused_sampling=on_tpu,
+                                     scoring=("fused_soft" if fused_scoring
+                                              else "cnn"),
                                      verify_topk=verify_topk)
         return res.final.R, res.final.t
 
@@ -163,7 +170,8 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
 
 
 def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
-            verify_topk: int = 0, arch: str = "dense", attempts: int = 16):
+            verify_topk: int = 0, arch: str = "dense", attempts: int = 16,
+            fused_scoring: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -172,7 +180,7 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
     from dsac_tpu.geometry.pose import Pose
 
     serve_batch, images, (gt_R, gt_t), trained = build(
-        on_tpu, batch, verify_topk, queue, arch, attempts)
+        on_tpu, batch, verify_topk, queue, arch, attempts, fused_scoring)
     B = batch
 
     # one fused dispatch serves `queue` batches: scan over the staged
@@ -273,11 +281,12 @@ def main():
 
     r = measure(on_tpu=on_tpu, queue=args.queue, batch=args.batch,
                 verify_topk=args.verify_topk, arch=args.arch,
-                attempts=args.attempts)
+                attempts=args.attempts, fused_scoring=args.fused_scoring)
     rec = {
         "metric": "relocalizations_per_s_per_chip",
         "value": round(r["reloc_per_s"], 2),
-        "unit": (f"frames/s (256 hyps, 640x480, {args.arch}+ScoreNet, "
+        "unit": (f"frames/s (256 hyps, 640x480, {args.arch}+"
+                 f"{'soft-inlier' if args.fused_scoring else 'ScoreNet'}, "
                  f"{r['queue'] * r['batch']} distinct frames, queue "
                  f"{r['queue']} x batch {r['batch']}, "
                  f"verify_topk {r['verify_topk']})"),
@@ -290,6 +299,8 @@ def main():
         "attempts": r["attempts"],
         "trained_weights": r["trained_weights"],
     }
+    if args.fused_scoring:
+        rec["scoring"] = "fused_soft"
     if args.medians:
         rec["median_rot_deg"] = round(r["median_rot_deg"], 4)
         rec["median_trans_mm"] = round(r["median_trans_mm"], 3)
