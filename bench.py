@@ -203,14 +203,18 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
     except Exception:
         flops_per_call = float("nan")
 
-    out = compiled(jax.random.PRNGKey(0), images)  # warmup
-    jax.block_until_ready(out)
+    from dsac_tpu.utils.timing import fence
 
-    n = 4 if on_tpu else 1
+    out = compiled(jax.random.PRNGKey(0), images)  # warmup
+    fence(out)  # NOT block_until_ready: unreliable on the axon tunnel
+
+    # 16 reps amortize the fence's device->host round-trip (~25 ms over
+    # the tunnel) to <1% of the measurement window
+    n = 16 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n):
         out = compiled(jax.random.PRNGKey(i), images)
-    jax.block_until_ready(out)
+    fence(out)
     dt = time.perf_counter() - t0
 
     reloc_per_s = n * queue * B / dt

@@ -28,6 +28,7 @@ import numpy as np
 
 from dsac_tpu.pipeline.forward import process_frames_batched
 from dsac_tpu.utils import checkpoint as ckpt
+from dsac_tpu.utils.timing import fence
 from dsac_tpu.utils.logging import blue, green
 from dsac_tpu.cli import common
 
@@ -90,7 +91,7 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
     print(blue(f"Serving {B * Q} staged frames over mesh "
                f"{dict(mesh.shape)}, queue {Q} x batch {B} ..."))
     out = serve(coord_params, score_params, keys[0], images[0])  # compile
-    jax.block_until_ready(out)
+    fence(out)  # block_until_ready is unreliable over the axon tunnel
 
     t0 = time.perf_counter()
     outs = []
@@ -98,7 +99,7 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
         for q in range(Q):
             outs.append(serve(coord_params, score_params, keys[q],
                               images[q]))
-    jax.block_until_ready(outs)
+    fence(outs)
     dt = time.perf_counter() - t0
     reloc_per_s = args.reps * Q * B / dt
 
@@ -238,11 +239,11 @@ def main(argv=None):
                f"queue {Q} x batch {B}, "
                f"refine={'fused' if args.fused_refine else 'jnp'} ..."))
     out = serve_queue(jax.random.PRNGKey(args.seed), images)  # compile
-    jax.block_until_ready(out)
+    fence(out)  # block_until_ready is unreliable over the axon tunnel
     t0 = time.perf_counter()
     for r in range(args.reps):
         out = serve_queue(jax.random.PRNGKey(args.seed + r), images)
-    jax.block_until_ready(out)
+    fence(out)
     dt = time.perf_counter() - t0
     reloc_per_s = args.reps * Q * B / dt
 

@@ -14,6 +14,33 @@ import time
 import jax
 
 
+def fence(tree) -> None:
+    """Hard completion fence for device work feeding ``tree``.
+
+    ``jax.block_until_ready`` alone is NOT a reliable barrier on this
+    box: the experimental remote-TPU ("axon") plugin has been observed to
+    return from ``block_until_ready`` (and ``effects_barrier``)
+    microseconds after dispatching unfinished work, which silently turns
+    any throughput measurement into a dispatch-rate measurement (observed
+    ~100x inflation).  The only dependable barrier over the tunnel is a
+    device->host readback that data-depends on the result, so after
+    ``block_until_ready`` this fetches one element per leaf (a few bytes,
+    combined into a single transfer).  All benchmark/timing code must
+    sync through here, never through ``block_until_ready`` directly.
+    """
+    import numpy as np
+
+    jax.block_until_ready(tree)
+    import jax.numpy as jnp
+
+    probes = []
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ndim") and getattr(leaf, "size", 0) > 0:
+            probes.append(jnp.ravel(leaf)[0].astype(jnp.float32))
+    if probes:
+        np.asarray(jnp.stack(probes))
+
+
 class StopWatch:
     """Wall-clock ms timer (core/stop_watch.h semantics: stop() returns the
     elapsed ms and restarts)."""
@@ -60,12 +87,12 @@ def time_jitted(fn, *args, iters: int = 20, warmup: int = 2) -> float:
     """Best-of wall time (seconds) of a jitted callable, device-synced."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        fence(out)
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -17,6 +17,13 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
+def _fence(tree):
+    """Hard device fence (block_until_ready is unreliable on the axon
+    tunnel -- see dsac_tpu.utils.timing.fence)."""
+    from dsac_tpu.utils.timing import fence
+    fence(tree)
+
+
 def main():
     modes = sys.argv[1:] or ["implicit", "unroll"]
 
@@ -56,7 +63,7 @@ def main():
             cam=cam, cfg=cfg, softam=softam, refine_mode=rm))
         t0 = time.perf_counter()
         s, loss, aux = step_fn(state, jax.random.PRNGKey(3), rgb, pose)
-        jax.block_until_ready(loss)
+        _fence(loss)
         compile_s = time.perf_counter() - t0
 
         n = 10
@@ -65,7 +72,7 @@ def main():
         for i in range(n):
             s2, loss, aux = step_fn(s2, jax.random.PRNGKey(10 + i), rgb,
                                     pose)
-        jax.block_until_ready(loss)
+        _fence(loss)
         dt = (time.perf_counter() - t0) / n
         print(f"mode={mode:13s} round={dt*1e3:8.1f} ms  "
               f"(compile {compile_s:.0f} s)  E[loss]={float(loss):.3f} "

@@ -20,6 +20,13 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
+def _fence(tree):
+    """Hard device fence (block_until_ready is unreliable on the axon
+    tunnel -- see dsac_tpu.utils.timing.fence)."""
+    from dsac_tpu.utils.timing import fence
+    fence(tree)
+
+
 def main():
     # optional "--attempts N" anywhere in argv: P3P candidate sets per
     # hypothesis (default PoseConfig's 16).  The sampling stage is the
@@ -69,14 +76,14 @@ def main():
         keys = jax.random.split(jax.random.PRNGKey(3), B)
         t0 = time.perf_counter()
         out = serve(keys)
-        jax.block_until_ready(out)
+        _fence(out)
         compile_s = time.perf_counter() - t0
 
         n = 8
         t0 = time.perf_counter()
         for i in range(n):
             out = serve(jax.random.split(jax.random.PRNGKey(i), B))
-        jax.block_until_ready(out)
+        _fence(out)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "relocalizations_per_s_per_chip",

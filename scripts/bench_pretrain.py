@@ -22,6 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fence(tree):
+    """Hard device fence (block_until_ready is unreliable on the axon
+    tunnel -- see dsac_tpu.utils.timing.fence)."""
+    from dsac_tpu.utils.timing import fence
+    fence(tree)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=48)
@@ -79,12 +86,12 @@ def main():
         optimizer=opt, n_updates=args.steps, batch=args.dense_batch))
     out = many(params, opt_state, jax.random.PRNGKey(0), images_d, gts_d,
                masks_d)
-    jax.block_until_ready(out)  # compile + warmup
+    _fence(out)  # compile + warmup
     t0 = time.perf_counter()
     for r in range(args.reps):
         out = many(out[0], out[1], jax.random.PRNGKey(r + 1), images_d,
                    gts_d, masks_d)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = time.perf_counter() - t0
     results["dense"] = args.reps * args.steps / dt
 
@@ -107,12 +114,12 @@ def main():
 
     fi, pxy = schedule(args.steps)
     out = many(params, opt_state, images_d, objs_d, fi, pxy)
-    jax.block_until_ready(out)
+    _fence(out)
     scheds = [schedule(args.steps) for _ in range(args.reps)]  # host cost
     t0 = time.perf_counter()
     for fi, pxy in scheds:
         out = many(out[0], out[1], images_d, objs_d, fi, pxy)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = time.perf_counter() - t0
     results["patch"] = args.reps * args.steps / dt
 

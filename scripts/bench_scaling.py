@@ -23,6 +23,13 @@ import json
 import time
 
 
+def _fence(tree):
+    """Hard device fence (block_until_ready is unreliable on the axon
+    tunnel -- see dsac_tpu.utils.timing.fence)."""
+    from dsac_tpu.utils.timing import fence
+    fence(tree)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-farm", type=int, default=0,
@@ -114,12 +121,12 @@ def main():
                                 c_opt, s_opt, coord_collective=collective)
         state = (cp, sp, c_opt.init(cp), s_opt.init(sp))
         out = step(*state, keys, images, gt.R, gt.t)
-        jax.block_until_ready(out)
+        _fence(out)
         t0 = time.perf_counter()
         iters = 3
         for _ in range(iters):
             out = step(*state, keys, images, gt.R, gt.t)
-        jax.block_until_ready(out)
+        _fence(out)
         dt = (time.perf_counter() - t0) / iters
         fps = B / dt
         results[f"{nd}x{nh}"] = {"devices": n, "frames_per_s": round(fps, 3)}

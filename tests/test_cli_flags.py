@@ -132,6 +132,20 @@ class TestTiming:
         t = time_jitted(f, jnp.ones(8), iters=3, warmup=1)
         assert t > 0
 
+    def test_fence_pytrees(self):
+        # fence() is the mandatory sync for all measurements (the axon
+        # remote-TPU plugin returns early from block_until_ready); it
+        # must accept arbitrary pytrees incl. int leaves, empty arrays,
+        # scalars and non-array leaves without dispatch errors
+        from dsac_tpu.utils.timing import fence
+
+        fence(jnp.ones((3, 4)))
+        fence((jnp.arange(5), {"a": jnp.float32(1.0),
+                               "b": jnp.zeros((0, 2)),
+                               "c": jnp.array(True)}))
+        fence([])  # no leaves
+        fence((None, 3.5))  # non-array leaves
+
 
 @pytest.mark.slow
 class TestCliSmoke:
