@@ -58,7 +58,12 @@ class StopWatch:
 @contextlib.contextmanager
 def stage(name: str, results: dict | None = None, sync: bool = True,
           verbose: bool = False):
-    """Time a pipeline stage; blocks on device completion when sync."""
+    """Time a pipeline stage; best-effort device sync when ``sync``.
+
+    WARNING: ``jax.effects_barrier`` is NOT a reliable fence on the axon
+    remote-TPU backend (see :func:`fence`); for measurements, prefer
+    ``fence(outputs)`` on the stage's actual outputs.
+    """
     t0 = time.perf_counter()
     yield
     if sync:
