@@ -56,21 +56,20 @@ class StopWatch:
 
 
 @contextlib.contextmanager
-def stage(name: str, results: dict | None = None, sync: bool = True,
+def stage(name: str, outputs_fn, results: dict | None = None,
           verbose: bool = False):
-    """Time a pipeline stage; best-effort device sync when ``sync``.
+    """Time a pipeline stage, synced through :func:`fence`.
 
-    WARNING: ``jax.effects_barrier`` is NOT a reliable fence on the axon
-    remote-TPU backend (see :func:`fence`); for measurements, prefer
-    ``fence(outputs)`` on the stage's actual outputs.
+    ``outputs_fn`` is a zero-arg callable returning the stage's actual
+    outputs (any pytree); it is called after the block and fenced, so the
+    recorded time includes real device completion.  There is deliberately
+    no fence-free mode: ``jax.effects_barrier`` returns early on the axon
+    backend and produced silently-wrong stage numbers (BASELINE.md
+    measurement-integrity note).
     """
     t0 = time.perf_counter()
     yield
-    if sync:
-        try:
-            jax.effects_barrier()
-        except Exception:
-            pass
+    fence(outputs_fn())
     ms = (time.perf_counter() - t0) * 1000.0
     if results is not None:
         results[name] = results.get(name, 0.0) + ms

@@ -17,6 +17,7 @@ Usage: PYTHONPATH=/root/repo python scripts/tpu_kernel_check.py
 """
 
 import json
+import pathlib
 import sys
 
 import jax
@@ -133,8 +134,12 @@ def main():
     results["p3p"] = {"valid_agree_vs_interpret": agree,
                       "median_dR_vs_interpret": p_pose,
                       "decision_agree_vs_jnp": dec_agree}
+    # Decision agreement is the serve-level contract: round-2 A/B showed
+    # bit-identical miss sets at 98.8% attempt-level agreement, so ≥0.98
+    # is the regression gate (a Mosaic change dropping below it must turn
+    # the round red, not ship silently — VERDICT r3 weak #4).
     ok &= check("p3p_solve_pallas",
-                agree > 0.99 and p_pose < 1e-3 and dec_agree > 0.9,
+                agree > 0.99 and p_pose < 1e-3 and dec_agree >= 0.98,
                 f"valid agree {agree:.4f}, median dR {p_pose:.2e}, "
                 f"jnp decisions {dec_agree:.3f}")
 
@@ -160,9 +165,16 @@ def main():
                 f"compiled vs interpret {rt_int:.2e} mm (n_inl "
                 f"{rn_int:.2e}), median vs jnp fixed point {rt_jnp:.3f} mm")
 
-    print(json.dumps({"metric": "tpu_kernel_check", "ok": bool(ok),
-                      **{k: {kk: round(vv, 6) for kk, vv in v.items()}
-                         for k, v in results.items()}}))
+    summary = {"metric": "tpu_kernel_check", "ok": bool(ok),
+               **{k: {kk: round(vv, 6) for kk, vv in v.items()}
+                  for k, v in results.items()}}
+    print(json.dumps(summary))
+    # Record the evidence file every run (results/ is the committed
+    # evidence chain; the verify drive re-runs this each round).
+    out = pathlib.Path(__file__).resolve().parents[1] / "results"
+    out.mkdir(exist_ok=True)
+    (out / "tpu_kernel_check.json").write_text(json.dumps(summary,
+                                                          indent=1) + "\n")
     sys.exit(0 if ok else 1)
 
 
