@@ -123,6 +123,10 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
                    help="7-Scenes-layout directory (training or test split)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N procedural frames instead of --data")
+    p.add_argument("--scene", type=str, default="room",
+                   help="synthetic scene archetype (see data.synthetic."
+                        "ARCHETYPES): room (default), repeat, bare, "
+                        "noisy, clutter, hard")
     p.add_argument("--out", type=str, default="./out",
                    help="output directory (checkpoints, logs)")
     p.add_argument("--arch", choices=["dense", "dense_s2d", "patch"],
@@ -190,9 +194,11 @@ def frame_source(args, cfg: DSACConfig, split_hint: str = "training"):
     if args.data:
         return SevenScenesSource(args.data, cfg.data)
     n = args.synthetic or 16
+    from dsac_tpu.data.synthetic import make_scene
+    scene = make_scene(getattr(args, "scene", "room") or "room")
     # seed keys the camera-pose set: different --seed values give DISJOINT
     # viewpoint sets of the same scene (training vs test splits)
-    return SyntheticSource(n, seed=args.seed)
+    return SyntheticSource(n, seed=args.seed, scene=scene)
 
 
 def soft_inlier_score_fn(cfg: DSACConfig):

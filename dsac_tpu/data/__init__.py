@@ -6,4 +6,4 @@ loader replicates the reference's on-disk convention (core/dataset.h,
 link_7scenes.py) for real data.
 """
 
-from dsac_tpu.data.synthetic import SyntheticScene
+from dsac_tpu.data.synthetic import ARCHETYPES, SyntheticScene, make_scene
