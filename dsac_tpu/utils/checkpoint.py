@@ -29,6 +29,32 @@ OBJ_SOFTAM = "obj_model_softam_endtoend"
 SCORE_SOFTAM = "score_model_softam_endtoend"
 
 
+def _globalize(state: Any) -> Any:
+    """Make every leaf serializable in a multi-PROCESS run.
+
+    Orbax refuses host-local jax.Arrays (e.g. a bare ``jnp.asarray(step)``
+    scalar, or params produced outside shard_map) when
+    ``jax.process_count() > 1``: their device set does not span all
+    processes.  Such leaves are by construction replicated host values —
+    every process holds the same bytes — so they are re-placed as global
+    fully-replicated arrays over all devices.  Genuinely sharded global
+    arrays (not fully addressable locally) pass through untouched.
+    Single-process runs are returned as-is (zero overhead).
+    """
+    if jax.process_count() == 1:
+        return state
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    rep = NamedSharding(Mesh(np.asarray(jax.devices()), ("_ckpt",)), P())
+
+    def fix(x):
+        if (isinstance(x, jax.Array) and x.is_fully_addressable
+                and len(x.sharding.device_set) < jax.device_count()):
+            return jax.device_put(np.asarray(x), rep)
+        return x
+
+    return jax.tree.map(fix, state)
+
+
 def save(directory: str | Path, name: str, state: Any, step: int | None = None,
          keep: int = 3):
     """Snapshot `state` (any pytree) under directory/name[/step]."""
@@ -37,7 +63,7 @@ def save(directory: str | Path, name: str, state: Any, step: int | None = None,
             path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mgr:
         mgr.save(0 if step is None else int(step),
-                 args=ocp.args.StandardSave(state))
+                 args=ocp.args.StandardSave(_globalize(state)))
         mgr.wait_until_finished()
 
 

@@ -253,12 +253,10 @@ def worker(proc: int, coord: str) -> dict:
 
     # ---- gate 5: multiprocess orbax save/restore on the mesh -------------
     ckdir = REPO / "runs" / "mp_dryrun_ckpt"
-    # every leaf must be a GLOBAL array in a multi-process run — a bare
-    # jnp scalar is host-local and orbax refuses it (the single-process
-    # farm can never catch this class of bug)
-    rep_sh = NamedSharding(mesh, P())
-    state = {"params": out[0],
-             "step": jax.device_put(np.asarray(7, np.int32), rep_sh)}
+    # the state deliberately carries a HOST-LOCAL scalar (what every CLI
+    # writes as its step counter): checkpoint.save must globalize it —
+    # orbax refuses host-local jax.Arrays in a multi-process run
+    state = {"params": out[0], "step": jnp.asarray(7, jnp.int32)}
     ckpt.save(ckdir, "mp_state", state, step=7)
     restored = ckpt.restore(ckdir, "mp_state", template=state)
     same = jax.tree_util.tree_all(jax.tree.map(
