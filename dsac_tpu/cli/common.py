@@ -215,7 +215,7 @@ def soft_inlier_score_fn(cfg: DSACConfig):
     return fn
 
 
-def stage_frame_pool(source, rng, cap: int = 512):
+def stage_frame_pool(source, rng, cap: int = 512, as_numpy: bool = False):
     """Stage ≤cap frames (+GT poses) on device in ONE pass over source.
 
     The fused training loops keep the frame pool in HBM; staging an
@@ -236,6 +236,8 @@ def stage_frame_pool(source, rng, cap: int = 512):
     if n > cap:
         print(f"Staging {cap} of {n} frames on device "
               f"(bounded pool; raise --stage-frames to widen).")
+    if as_numpy:  # host arrays (mesh callers shard_pool them instead)
+        return np.stack(rgbs), np.stack(Rs), np.stack(ts)
     return (jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(Rs)),
             jnp.asarray(np.stack(ts)))
 

@@ -111,27 +111,86 @@ def main(argv=None, softam: bool = False):
 
     n = len(source) if args.rounds is None else min(args.rounds, len(source))
     rots, trans, exps, ents = [], [], [], []
-    for i in range(n):
-        f = source.get(i)
-        res = run(jax.random.PRNGKey(args.seed * 131 + i),
-                  image=jnp.asarray(f.rgb))
-        ev = evaluate_frame(res, f.pose)
-        rot = float(ev.rot_err_deg)
-        te = float(ev.trans_err_mm)
+
+    def record(i, expected, ent, winner_loss, est_R, est_t, gt_pose):
+        from dsac_tpu.geometry.loss import pose_errors
+        from dsac_tpu.geometry.pose import Pose as _Pose
+        rot_e, t_e = pose_errors(_Pose(jnp.asarray(est_R),
+                                       jnp.asarray(est_t)), gt_pose)
+        rot, te = float(rot_e), float(t_e)
         rots.append(rot)
         trans.append(te)
-        exps.append(float(ev.expected_loss))
-        ents.append(float(ev.entropy))
-        est_R = np.asarray(res.final.R)
-        est_t = np.asarray(res.final.t)
-        vec6 = pose_to_7scenes_vec6(est_R, est_t, translation_m)
-        log.frame(float(ev.expected_loss), float(ev.entropy),
-                  float(ev.losses[int(res.chosen)]), te, rot, vec6)
+        exps.append(float(expected))
+        ents.append(float(ent))
+        vec6 = pose_to_7scenes_vec6(np.asarray(est_R), np.asarray(est_t),
+                                    translation_m)
+        log.frame(float(expected), float(ent), float(winner_loss), te, rot,
+                  vec6)
         if args.export_poses:
             write_pose_file(pose_dir / f"frame-{i:06d}.pose.txt",
-                            est_R, est_t, translation_m)
-        colour = green if bool(ev.correct) else red
+                            np.asarray(est_R), np.asarray(est_t),
+                            translation_m)
+        colour = green if (rot < 5.0 and te < 50.0) else red
         print(colour(f"frame {i}: rot {rot:.2f} deg, trans {te:.1f} mm"))
+
+    mesh = common.parse_mesh(args.mesh)
+    if mesh is not None:
+        # batched mesh evaluation: frames over 'data', the hypothesis
+        # pool (refined in full, as the reference's test loop does) over
+        # 'hyp'; winner selection is argmax (the -rdraw 0 convention)
+        from dsac_tpu.parallel.mesh import DATA_AXIS, HYP_AXIS
+        from dsac_tpu.parallel.pretrain import sharded_eval_step
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_data, n_hyp = mesh.shape[DATA_AXIS], mesh.shape[HYP_AXIS]
+        if cfg.pose.num_hypotheses % n_hyp:
+            raise SystemExit(f"-rI {cfg.pose.num_hypotheses} not divisible"
+                             f" by hyp axis {n_hyp}")
+        if cfg.pose.random_draw:
+            print(blue("NOTE: --mesh evaluation selects by argmax "
+                       "(evaluate with -rdraw 0 for parity)."))
+        capply, coord_collective = common.mesh_coord_apply(
+            args, coord_net, coord_apply, n_hyp)
+        if use_score_net:
+            sapply = score_apply
+        else:
+            soft_fn = common.soft_inlier_score_fn(cfg)
+            sapply = lambda params, dm: soft_fn(dm)
+            score_params = {}
+        step = sharded_eval_step(
+            mesh, capply, sapply, cam, cfg,
+            coord_collective=coord_collective,
+            refine_mode=("fused" if args.fused_refine else "auto"),
+            softam=args.softam)
+        rep = NamedSharding(mesh, PartitionSpec())
+        coord_params, score_params = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), rep),
+            (coord_params, score_params))
+        for b0 in range(0, n, n_data):
+            idx = [min(b0 + j, n - 1) for j in range(n_data)]  # pad tail
+            fs = [source.get(i) for i in idx]
+            keys = jnp.stack([jax.random.PRNGKey(args.seed * 131 + i)
+                              for i in idx])
+            imgs = jnp.asarray(np.stack([f.rgb for f in fs]))
+            gR = jnp.asarray(np.stack([np.asarray(f.pose.R) for f in fs]))
+            gT = jnp.asarray(np.stack([np.asarray(f.pose.t) for f in fs]))
+            exp_b, ent_b, wl_b, R_b, t_b = step(coord_params, score_params,
+                                                keys, imgs, gR, gT)
+            for j in range(n_data):
+                i = b0 + j
+                if i >= n:
+                    break
+                record(i, np.asarray(exp_b)[j], np.asarray(ent_b)[j],
+                       np.asarray(wl_b)[j], np.asarray(R_b)[j],
+                       np.asarray(t_b)[j], fs[j].pose)
+    else:
+        for i in range(n):
+            f = source.get(i)
+            res = run(jax.random.PRNGKey(args.seed * 131 + i),
+                      image=jnp.asarray(f.rgb))
+            ev = evaluate_frame(res, f.pose)
+            record(i, ev.expected_loss, ev.entropy,
+                   ev.losses[int(res.chosen)], res.final.R, res.final.t,
+                   f.pose)
 
     stats = summarize(np.asarray(rots), np.asarray(trans),
                       np.asarray(exps), np.asarray(ents))

@@ -59,6 +59,11 @@ def main(argv=None):
     source = common.frame_source(args, cfg)
     coord_net, _, _, _ = common.build_models(args, cfg)
     rng = np.random.default_rng(args.seed)
+    mesh = common.parse_mesh(args.mesh)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        print(blue(f"Data-parallel pre-training over mesh "
+                   f"{dict(mesh.shape)} ({n_dev} devices)."))
 
     opt = coord_pretrain_optimizer()
     start_update = 0
@@ -78,10 +83,17 @@ def main(argv=None):
             print(blue(f"Resumed obj_model_init at update {start_update}."))
         except FileNotFoundError:
             pass
-        many_fn = jax.jit(functools.partial(
-            dense_coord_pretrain_many,
-            apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
-            n_updates=args.steps_per_call, batch=args.dense_batch))
+        if mesh is not None:
+            from dsac_tpu.parallel.pretrain import \
+                sharded_dense_pretrain_many
+            many_fn = sharded_dense_pretrain_many(
+                mesh, lambda p_, x: coord_net.apply(p_, x), opt,
+                n_updates=args.steps_per_call, batch=args.dense_batch)
+        else:
+            many_fn = jax.jit(functools.partial(
+                dense_coord_pretrain_many,
+                apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
+                n_updates=args.steps_per_call, batch=args.dense_batch))
     else:
         params = coord_net.init(jax.random.PRNGKey(args.seed),
                                 jnp.zeros((1, cfg.net.rgb_patch_size,
@@ -99,10 +111,23 @@ def main(argv=None):
         step_fn = jax.jit(functools.partial(
             coord_pretrain_step,
             apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt))
-        patch_many_fn = jax.jit(functools.partial(
-            patch_coord_pretrain_many,
-            apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
-            patch_size=cfg.net.rgb_patch_size))
+        if mesh is not None:
+            if args.steps_per_call <= 1:
+                raise SystemExit("--mesh patch training requires "
+                                 "--steps-per-call > 1 (fused schedule)")
+            if args.batch % n_dev:
+                raise SystemExit(f"--batch {args.batch} not divisible by "
+                                 f"{n_dev} mesh devices")
+            from dsac_tpu.parallel.pretrain import \
+                sharded_patch_pretrain_many
+            patch_many_fn = sharded_patch_pretrain_many(
+                mesh, lambda p_, x: coord_net.apply(p_, x), opt,
+                patch_size=cfg.net.rgb_patch_size)
+        else:
+            patch_many_fn = jax.jit(functools.partial(
+                patch_coord_pretrain_many,
+                apply_fn=lambda p_, x: coord_net.apply(p_, x), optimizer=opt,
+                patch_size=cfg.net.rgb_patch_size))
 
     log = TrainingLog(f"{args.out}/obj_training_loss.txt")
     print(blue(f"Pre-training coordinate CNN ({args.arch}) for "
@@ -112,7 +137,10 @@ def main(argv=None):
     # (train_obj.cpp:104-122 getInliers; DOVALIDATION loop :309-331)
     val_fn = None
     if args.validate_every > 0:
-        val_source = (common.SyntheticSource(args.validate_frames, seed=777)
+        # same SCENE as training (archetypes!), disjoint viewpoint seed
+        val_source = (common.SyntheticSource(args.validate_frames, seed=777,
+                                             scene=getattr(source, "scene",
+                                                           None))
                       if not args.data else source)
         v_rgbs, v_gts, v_masks = [], [], []
         for i in range(min(args.validate_frames, len(val_source))):
@@ -180,9 +208,20 @@ def main(argv=None):
             rgbs.append(f.rgb)
             gts.append(gt)
             masks_.append(mask)
-        images_d = jax.device_put(np.stack(rgbs))
-        gts_d = jax.device_put(np.stack(gts))
-        masks_d = jax.device_put(np.stack(masks_))
+        if mesh is not None:
+            # pool sharded over ALL mesh devices; params replicated
+            from jax.sharding import NamedSharding, PartitionSpec
+            from dsac_tpu.parallel.pretrain import shard_pool
+            images_d, gts_d, masks_d = shard_pool(
+                mesh, np.stack(rgbs), np.stack(gts), np.stack(masks_))
+            rep = NamedSharding(mesh, PartitionSpec())
+            params, opt_state = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), rep),
+                (params, opt_state))
+        else:
+            images_d = jax.device_put(np.stack(rgbs))
+            gts_d = jax.device_put(np.stack(gts))
+            masks_d = jax.device_put(np.stack(masks_))
     elif args.steps_per_call > 1:
         # fused patch mode: stage frames + GT maps on device, precompute
         # per-frame valid (on-object, border-respecting) pixel lists, and
@@ -199,17 +238,44 @@ def main(argv=None):
                           & (valid[:, 1] >= half)
                           & (valid[:, 1] < f.rgb.shape[1] - half)]
             valid_px.append(valid[:, ::-1].astype(np.int32))  # (x, y)
-        images_d = jax.device_put(np.stack(rgbs))
-        objs_d = jax.device_put(np.stack(objs))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from dsac_tpu.parallel.pretrain import shard_pool
+            images_d, objs_d = shard_pool(mesh, np.stack(rgbs),
+                                          np.stack(objs))
+            rep_sh = NamedSharding(mesh, PartitionSpec())
+            params, opt_state = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), rep_sh),
+                (params, opt_state))
+            pool_sh = NamedSharding(mesh, PartitionSpec(("data", "hyp")))
+            F_local = images_d.shape[0] // n_dev
+            b_local = args.batch // n_dev
 
-        def patch_schedule(k):
-            fi = rng.integers(len(source), size=(k, args.batch))
-            pxy = np.empty((k, args.batch, 2), np.int32)
-            for u in range(k):
-                for b, fr in enumerate(fi[u]):
-                    v = valid_px[fr]
-                    pxy[u, b] = v[rng.integers(len(v))]
-            return jnp.asarray(fi.astype(np.int32)), jnp.asarray(pxy)
+            def patch_schedule(k):
+                # per-device schedules with pool-LOCAL frame indices
+                # (global row d*F_local+local wraps the repeat-padding)
+                fi = rng.integers(F_local, size=(n_dev, k, b_local))
+                pxy = np.empty((n_dev, k, b_local, 2), np.int32)
+                for d in range(n_dev):
+                    for u in range(k):
+                        for b in range(b_local):
+                            g = (d * F_local + fi[d, u, b]) % len(source)
+                            v = valid_px[g]
+                            pxy[d, u, b] = v[rng.integers(len(v))]
+                return (jax.device_put(fi.astype(np.int32), pool_sh),
+                        jax.device_put(pxy, pool_sh))
+        else:
+            images_d = jax.device_put(np.stack(rgbs))
+            objs_d = jax.device_put(np.stack(objs))
+
+            def patch_schedule(k):
+                fi = rng.integers(len(source), size=(k, args.batch))
+                pxy = np.empty((k, args.batch, 2), np.int32)
+                for u in range(k):
+                    for b, fr in enumerate(fi[u]):
+                        v = valid_px[fr]
+                        pxy[u, b] = v[rng.integers(len(v))]
+                return jnp.asarray(fi.astype(np.int32)), jnp.asarray(pxy)
 
     update = start_update
     while update < args.updates:

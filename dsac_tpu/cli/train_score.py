@@ -72,30 +72,68 @@ def main(argv=None):
     # dispatch (pipeline/train.py:score_pretrain_round) instead of the
     # reference's ~30 host/device boundaries (train_score.cpp:271-373)
     n_f = max(1, args.frames_per_round // 10)
-    images_d, gt_R, gt_t = common.stage_frame_pool(source, rng,
-                                                   args.stage_frames)
+    mesh = common.parse_mesh(args.mesh)
+    if mesh is not None:
+        # data-parallel round: the heavy per-frame diff-map generation
+        # shards over ALL mesh devices; the Adam scan stays replicated
+        # (schedule-identical to the single-device round)
+        from jax.sharding import NamedSharding, PartitionSpec
+        from dsac_tpu.parallel.pretrain import (shard_pool,
+                                                sharded_score_pretrain_round)
+        n_dev = mesh.devices.size
+        n_f = -(-n_f // n_dev) * n_dev  # round up to a full device sweep
+        print(blue(f"Sharded rounds over mesh {dict(mesh.shape)}: "
+                   f"{n_f} frames/round."))
+        frames_np = common.stage_frame_pool(source, rng, args.stage_frames,
+                                            as_numpy=True)
+        images_d, gt_R, gt_t = shard_pool(mesh, *frames_np)
+        pool_local = images_d.shape[0] // n_dev
+        rep = NamedSharding(mesh, PartitionSpec())
+        pool_sh = NamedSharding(mesh, PartitionSpec(("data", "hyp")))
+        score_params, opt_state, coord_params = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), rep),
+            (score_params, opt_state, coord_params))
+        round_fn = sharded_score_pretrain_round(
+            mesh, coord_apply,
+            lambda p_, d: score_net.apply(p_, d), cam, cfg,
+            n_hyps=args.hyps_per_frame, batch=args.batch, optimizer=opt)
+    else:
+        images_d, gt_R, gt_t = common.stage_frame_pool(source, rng,
+                                                       args.stage_frames)
+        # images/gt/coord_params are call ARGUMENTS, not jit-captured
+        # constants: a closed-over 512-frame pool would be inlined into
+        # the HLO and break the remote compile (payload >1.9 GB)
+        round_fn = jax.jit(functools.partial(
+            score_pretrain_round, coord_apply=coord_apply,
+            score_apply=lambda p_, d: score_net.apply(p_, d), cam=cam,
+            cfg=cfg, n_hyps=args.hyps_per_frame, batch=args.batch,
+            optimizer=opt))
     pool = images_d.shape[0]
-
-    # images/gt/coord_params are call ARGUMENTS, not jit-captured
-    # constants: a closed-over 512-frame pool would be inlined into the
-    # HLO and break the remote compile (payload >1.9 GB)
-    round_fn = jax.jit(functools.partial(
-        score_pretrain_round, coord_apply=coord_apply,
-        score_apply=lambda p_, d: score_net.apply(p_, d), cam=cam, cfg=cfg,
-        n_hyps=args.hyps_per_frame, batch=args.batch, optimizer=opt))
 
     log = TrainingLog(f"{args.out}/score_training_loss.txt")
     update = 0
     for rnd in range(args.training_rounds):
-        fidx = jnp.asarray(rng.integers(pool, size=n_f), jnp.int32)
-        keys = jax.random.split(
-            jax.random.PRNGKey(int(rng.integers(2 ** 31))), n_f)
+        key_round = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
         perm = jnp.asarray(
             rng.permutation(n_f * args.hyps_per_frame), jnp.int32)
-        score_params, opt_state, losses = round_fn(
-            score_params, opt_state, fidx, keys, perm,
-            images=images_d, gt_R=gt_R, gt_t=gt_t,
-            coord_params=coord_params)
+        if mesh is not None:
+            # pool-LOCAL frame ids, laid out in device-linear order
+            fidx = jax.device_put(
+                rng.integers(pool_local, size=n_f).astype(np.int32),
+                pool_sh)
+            keys = jax.device_put(
+                np.asarray(jax.random.split(key_round, n_f)), pool_sh)
+            perm = jax.device_put(np.asarray(perm), rep)
+            score_params, opt_state, losses = round_fn(
+                score_params, opt_state, fidx, keys, perm, images_d,
+                gt_R, gt_t, coord_params)
+        else:
+            fidx = jnp.asarray(rng.integers(pool, size=n_f), jnp.int32)
+            keys = jax.random.split(key_round, n_f)
+            score_params, opt_state, losses = round_fn(
+                score_params, opt_state, fidx, keys, perm,
+                images=images_d, gt_R=gt_R, gt_t=gt_t,
+                coord_params=coord_params)
         update += int(losses.shape[0])
         loss = float(losses[-1])
         log.append(rnd, loss)
