@@ -72,7 +72,9 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
     serve = sharded_serve_step(mesh, capply, sapply, cam, cfg,
                                coord_collective=coord_collective,
                                verify_topk=args.verify_topk,
-                               fused_sampling=args.fused_refine,
+                               fused_sampling=("two_phase"
+                                               if args.two_phase_sampling
+                                               else args.fused_refine),
                                refine_mode=refine_mode,
                                scoring=("fused_soft" if args.fused_scoring
                                         else "cnn"))
@@ -169,6 +171,14 @@ def main(argv=None):
                         "kernel instead of the score CNN (the very-"
                         "large-H regime: the (H, N) surface never "
                         "materialises in HBM)")
+    p.add_argument("--two-phase-sampling", action="store_true",
+                   help="resample-only-failures hypothesis sampling: one "
+                        "P3P attempt per lane, failed lanes compacted and "
+                        "re-solved at full --attempts depth (fallback to "
+                        "fixed-depth if >12.5%% of lanes fail). Restores "
+                        "the reference's retry-until-valid semantics "
+                        "(core/cnn.h:1079-1129) at ~1/5 the solves in "
+                        "the large-H regime")
     p.add_argument("--attempts", type=int, default=None,
                    help="P3P candidate minimal sets per hypothesis "
                         "(default PoseConfig.sample_attempts=16, the "
@@ -220,7 +230,8 @@ def main(argv=None):
         coord_fn=lambda img, pix: coord_apply(coord_params, img, pix),
         score_fn=score_fn, cam=cam, cfg=cfg, refine_all=False,
         fused_refine=args.fused_refine,
-        fused_sampling=args.fused_refine,  # same backend gate
+        fused_sampling=("two_phase" if args.two_phase_sampling
+                        else args.fused_refine),  # same backend gate
         scoring="fused_soft" if args.fused_scoring else "cnn",
         verify_topk=args.verify_topk)
 

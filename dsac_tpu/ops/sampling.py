@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsac_tpu.config import Camera, PoseConfig
 from dsac_tpu.geometry.p3p import gn_polish_pose, solve_pnp_minimal
@@ -99,6 +100,93 @@ def _select(idx_b: jnp.ndarray, poses: Pose, valid: jnp.ndarray,
     return MinimalSets(indices=sel_idx, poses=sel_pose, valid=any_valid)
 
 
+def _solve_attempts_fused(key: jax.Array, n_lanes: int, T: int,
+                          coords: jnp.ndarray, pix: jnp.ndarray,
+                          cam: Camera, thresh: float):
+    """Draw + solve (n_lanes, T) candidate minimal sets with the SoA
+    Pallas kernel; returns (idx, poses, valid, worst)."""
+    from dsac_tpu.ops.p3p_pallas import p3p_solve_pallas
+
+    n = coords.shape[0]
+    idx = jax.random.randint(key, (n_lanes, T, 4), 0, n)
+    dup = jax.vmap(jax.vmap(_has_dup))(idx)
+    obj = coords[idx].reshape(n_lanes * T, 4, 3)
+    img = pix[idx].astype(jnp.float32).reshape(n_lanes * T, 4, 2)
+    cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy]).astype(jnp.float32)
+    flat, solved, worst = p3p_solve_pallas(
+        obj, img, cam_vec, interpret=jax.default_backend() != "tpu")
+    poses = Pose(flat.R.reshape(n_lanes, T, 3, 3),
+                 flat.t.reshape(n_lanes, T, 3))
+    worst = worst.reshape(n_lanes, T)
+    valid = solved.reshape(n_lanes, T) & (worst < thresh) & ~dup
+    return idx, poses, valid, worst
+
+
+def sample_minimal_sets_two_phase(key: jax.Array, coords: jnp.ndarray,
+                                  pix: jnp.ndarray, cam: Camera,
+                                  cfg: PoseConfig,
+                                  budget_frac: float = 0.125
+                                  ) -> MinimalSets:
+    """Resample-ONLY-failures hypothesis sampling (serve/eval, fused).
+
+    The fixed-T formulation (`sample_minimal_sets`) pays T solves for
+    every lane — the worst case for everyone — even though with trained
+    coordinates ~95%+ of lanes validate on their first attempt
+    (BASELINE.md large-H stage table: 45% of the H=16k budget).  This is
+    the faithful restoration of the reference's rejection-loop semantics
+    (core/cnn.h:1079-1129, "retry until valid") in fixed shapes:
+
+      phase 1: ONE attempt per lane (H solves);
+      phase 2: the (few) failed lanes are compacted into a fixed budget
+               of K = ceil(H * budget_frac) lanes and re-solved at full
+               depth T-1 (K*(T-1) solves), then scattered back;
+      fallback: if phase 1's failure fraction exceeds the budget (cold
+               nets, degenerate scenes), a lax.cond switches to the
+               plain fixed-T path — never worse than +H solves.
+
+    Expected solves: H + K*(T-1) ≈ H(1 + budget*(T-1)) vs H*T —
+    ~5.7x fewer at T=16, budget 1/8.  Lanes that fail phase 1 and miss
+    the budget (only when >K lanes fail, i.e. never in the fallback-free
+    regime) stay invalid, exactly like a lane whose T fixed attempts all
+    fail.
+    """
+    H, T = cfg.num_hypotheses, cfg.sample_attempts
+    thresh = cfg.inlier_threshold_2d
+    if T <= 1:
+        return sample_minimal_sets(key, coords, pix, cam, cfg, fused=True)
+    K = max(1, int(np.ceil(H * budget_frac)))
+    k1, k2 = jax.random.split(key)
+
+    idx1, poses1, valid1, worst1 = _solve_attempts_fused(
+        k1, H, 1, coords, pix, cam, thresh)
+    sel1 = _select(idx1, poses1, valid1, worst1, True, coords, pix, cam)
+    frac_invalid = 1.0 - jnp.mean(sel1.valid.astype(jnp.float32))
+
+    def phase2(_):
+        order = jnp.argsort(sel1.valid)  # invalid lanes first
+        lanes = order[:K]
+        idx2, poses2, valid2, worst2 = _solve_attempts_fused(
+            k2, K, T - 1, coords, pix, cam, thresh)
+        sel2 = _select(idx2, poses2, valid2, worst2, True, coords, pix,
+                       cam)
+        take = ~sel1.valid[lanes] & sel2.valid  # only rescue failures
+        R = sel1.poses.R.at[lanes].set(
+            jnp.where(take[:, None, None], sel2.poses.R,
+                      sel1.poses.R[lanes]))
+        t = sel1.poses.t.at[lanes].set(
+            jnp.where(take[:, None], sel2.poses.t, sel1.poses.t[lanes]))
+        indices = sel1.indices.at[lanes].set(
+            jnp.where(take[:, None], sel2.indices, sel1.indices[lanes]))
+        valid = sel1.valid.at[lanes].set(sel1.valid[lanes] | sel2.valid)
+        return MinimalSets(indices=indices, poses=Pose(R, t), valid=valid)
+
+    def fallback(_):
+        return sample_minimal_sets(k2, coords, pix, cam, cfg, fused=True)
+
+    return jax.lax.cond(frac_invalid > budget_frac, fallback, phase2,
+                        None)
+
+
 def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
                         pix: jnp.ndarray, cam: Camera,
                         cfg: PoseConfig, fused: bool = False) -> MinimalSets:
@@ -125,6 +213,8 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
     selected set — measured bit-identical serve accuracy with trained
     coords, at 1/T the polish cost.
     """
+    if fused == "two_phase":
+        return sample_minimal_sets_two_phase(key, coords, pix, cam, cfg)
     n = coords.shape[0]
     H, T = cfg.num_hypotheses, cfg.sample_attempts
 
