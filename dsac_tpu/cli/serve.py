@@ -77,7 +77,8 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
                                                else args.fused_refine),
                                refine_mode=refine_mode,
                                scoring=("fused_soft" if args.fused_scoring
-                                        else "cnn"))
+                                        else "cnn"),
+                               softam=args.softam)
 
     # orbax-restored params are COMMITTED to a single device; re-place
     # them replicated over the mesh or shard_map rejects the inputs
@@ -143,6 +144,7 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
         "accuracy_5cm5deg": acc,
         "backend": jax.default_backend(),
         "mesh": args.mesh,
+        **({"variant": "softam"} if args.softam else {}),
     }))
     return reloc_per_s
 
@@ -151,6 +153,11 @@ def main(argv=None):
     p = common.make_parser(__doc__)
     p.add_argument("--model", choices=["endtoend", "init", "none"],
                    default="endtoend")
+    p.add_argument("--softam", action="store_true",
+                   help="serve the soft-argmax variant (softmax-weighted "
+                        "pool average refined; cnn_softam.h:960-1180) "
+                        "with the same fast kernels — loads the softam "
+                        "checkpoints")
     p.add_argument("--batch", type=int, default=8,
                    help="frames per vmapped serve batch (MXU utilisation)")
     p.add_argument("--queue", type=int, default=8,
@@ -204,7 +211,8 @@ def main(argv=None):
     sample = source.get(0)
 
     coord_params, _, score_params, use_score_net = common.load_eval_params(
-        args, cfg, coord_net, score_net, sample, strings=strings)
+        args, cfg, coord_net, score_net, sample, softam=args.softam,
+        strings=strings)
     if use_score_net:
         score_fn = lambda dm: score_apply(score_params, dm)
     else:
@@ -233,7 +241,7 @@ def main(argv=None):
         fused_sampling=("two_phase" if args.two_phase_sampling
                         else args.fused_refine),  # same backend gate
         scoring="fused_soft" if args.fused_scoring else "cnn",
-        verify_topk=args.verify_topk)
+        verify_topk=args.verify_topk, softam=args.softam)
 
     @jax.jit
     def serve_queue(key, q_images):
@@ -289,6 +297,7 @@ def main(argv=None):
                 f"queue {Q} x batch {B})",
         "accuracy_5cm5deg": acc,
         "backend": jax.default_backend(),
+        **({"variant": "softam"} if args.softam else {}),
     }))
     return reloc_per_s
 

@@ -328,7 +328,8 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
                         verify_topk: int = 0,
                         fused_sampling: bool = False,
                         refine_mode=False,
-                        scoring: str = "cnn"):
+                        scoring: str = "cnn",
+                        softam: bool = False):
     """Per-device body (inside shard_map) for serving ONE frame.
 
     The serve twin of sharded_process_frame: no ground truth, winner-only
@@ -404,6 +405,20 @@ def sharded_serve_frame(key: jax.Array, image: jnp.ndarray,
     # k_draw is identical across the 'hyp' axis -> same draw on every shard
     chosen = draw_hypothesis(k_draw, scores, pcfg.random_draw)
 
+    if softam:
+        # soft-argmax serving: softmax-weighted pool average via psum
+        # (cnn_softam.h:1082-1094), averaged pose refined replicated —
+        # the serve twin of sharded_process_frame(softam=True)
+        probs_local = _local_slice(probs, HYP_AXIS, n_hyp_shards)
+        vecs_local = pose_to_vec6(sets.poses)  # (H_local, 6)
+        avg_vec = jax.lax.psum(
+            jnp.sum(probs_local[:, None] * vecs_local, axis=0), HYP_AXIS)
+        avg = pose_from_vec6(avg_vec)
+        _, refine_one = make_refiners(coords, pixf, cam, pcfg,
+                                      refine_mode)
+        final, _n_in = refine_one(avg)
+        return final, scores, probs, ent, jnp.argmax(scores)
+
     refine_batchk, _ = make_refiners(coords, pixf, cam, pcfg, refine_mode)
 
     if verify_topk > 1:
@@ -428,7 +443,8 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                        verify_topk: int = 0,
                        fused_sampling: bool | None = None,
                        refine_mode="auto",
-                       scoring: str = "cnn"):
+                       scoring: str = "cnn",
+                       softam: bool = False):
     """Build the jitted multi-device serving step (inference twin of
     sharded_e2e_step).
 
@@ -455,7 +471,7 @@ def sharded_serve_step(mesh: Mesh, coord_apply: Callable,
                 verify_topk=verify_topk,
                 fused_sampling=fused_sampling,
                 refine_mode=refine_mode,
-                scoring=scoring)
+                scoring=scoring, softam=softam)
             return final.R, final.t, scores, ent, chosen
 
         return jax.vmap(one)(keys, images)

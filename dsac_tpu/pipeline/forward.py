@@ -336,13 +336,24 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
                            fused_refine: bool = False,
                            scoring: str = "cnn",
                            fused_sampling: bool = False,
-                           verify_topk: int = 0) -> FrameResult:
+                           verify_topk: int = 0,
+                           softam: bool = False) -> FrameResult:
     """Batched serve path: vmap of process_frame over a frame batch.
 
     The production serving shape — batching frames keeps the coordinate
     CNN's matmuls large on the MXU and amortises dispatch latency.
     keys: (B,) key array; images: (B, H, W, 3).
+    softam=True serves the soft-argmax variant with the same fast
+    kernels (fused sampling/scoring; refinement mode "fused" when
+    fused_refine).
     """
+    if softam:
+        return jax.vmap(
+            lambda k, img: process_frame_softam(
+                k, img, coord_fn, score_fn, cam, cfg,
+                refine_mode=("fused" if fused_refine else False),
+                fused_sampling=fused_sampling, scoring=scoring)
+        )(keys, images)
     return jax.vmap(
         lambda k, img: process_frame(k, img, coord_fn, score_fn, cam, cfg,
                                      refine_all=refine_all,
@@ -356,7 +367,9 @@ def process_frames_batched(keys: jax.Array, images: jnp.ndarray,
 def process_frame_softam(key: jax.Array, image: jnp.ndarray,
                          coord_fn: CoordFn, score_fn: ScoreFn, cam: Camera,
                          cfg: DSACConfig,
-                         refine_mode=False) -> FrameResult:
+                         refine_mode=False,
+                         fused_sampling: bool = False,
+                         scoring: str = "cnn") -> FrameResult:
     """Soft-argmax forward pass (core/cnn_softam.h:960-1180).
 
     The softmax weights average the hypothesis pool directly — a linear
@@ -368,13 +381,29 @@ def process_frame_softam(key: jax.Array, image: jnp.ndarray,
     TRAINING modes, with init-injection so the score CNN's gradient path
     through the averaged pose (dRefineHyp, cnn_softam.h:738-923) stays
     alive.
+
+    fused_sampling / scoring="fused_soft" are the SAME fast serve kernels
+    as process_frame's (SoA P3P sampler; fused reprojection+soft-inlier
+    scoring, no (H, G, G) surface in HBM) — softam serving is not a
+    per-frame speed regression vs DSAC serving.
     """
     k_front, _ = jax.random.split(key)
-    sampling, pix, coords, sets, dm = _front_end(k_front, image, coord_fn,
-                                                 cam, cfg)
+    sampling, pix, coords, sets, dm = _front_end(
+        k_front, image, coord_fn, cam, cfg,
+        with_diffmaps=(scoring == "cnn"), fused_sampling=fused_sampling)
     pixf = pix.astype(jnp.float32)
 
-    scores = score_fn(dm)
+    if scoring == "fused_soft":
+        from dsac_tpu.ops.diffmap_pallas import soft_inlier_scores_pallas
+        cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy])
+        scores = soft_inlier_scores_pallas(
+            sets.poses.R, sets.poses.t, coords, pixf, cam_vec,
+            threshold=cfg.pose.inlier_threshold_2d,
+            beta=cfg.pose.score_beta,
+            max_error=cfg.pose.max_reprojection_error,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        scores = score_fn(dm)
     scores = jnp.where(sets.valid, scores, -1e9)
     probs = softmax_scores(scores)
     ent = shannon_entropy(probs)
