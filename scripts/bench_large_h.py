@@ -39,6 +39,12 @@ def main():
         i = argv.index("--attempts")
         attempts = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    # --two-phase: resample-only-failures sampling (ops/sampling.py) —
+    # phase-1 single attempt + budgeted re-solve, full --attempts depth
+    # retained for the failures
+    two_phase = "--two-phase" in argv
+    if two_phase:
+        argv.remove("--two-phase")
     hyps = [int(h) for h in argv] or [256, 4096, 16384]
 
     from dsac_tpu.config import DSACConfig, PoseConfig
@@ -70,7 +76,8 @@ def main():
             res = process_frames_batched(
                 keys, images, coord_apply, None, cam, cfg,
                 refine_all=False, fused_refine=True,
-                scoring="fused_soft", fused_sampling=True)
+                scoring="fused_soft",
+                fused_sampling="two_phase" if two_phase else True)
             return res.final.R, res.final.t
 
         keys = jax.random.split(jax.random.PRNGKey(3), B)
@@ -89,6 +96,8 @@ def main():
             "metric": "relocalizations_per_s_per_chip",
             "value": round(n * B / dt, 2),
             "unit": f"frames/s (H={H}, fused scoring+refine, batch {B})",
+            "sampling": "two_phase" if two_phase else "fixed",
+            "attempts": attempts if attempts is not None else 16,
             "compile_s": round(compile_s, 1),
         }))
 

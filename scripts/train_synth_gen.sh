@@ -19,22 +19,23 @@ set -e
 cd "$(dirname "$0")/.."
 OUT=${1:-runs/synth_gen_fast}
 ARCH=${ARCH:-dense}   # dense | dense_s2d (fast TPU stem) | patch
+SCENE=${SCENE:-room}  # benchmark archetype (data/synthetic.py:ARCHETYPES)
 TRAIN_SEED=3
 EVAL_SEED=99
 VIEWS=${VIEWS:-512}
 
 python -m dsac_tpu.cli.train_obj --synthetic $VIEWS --seed $TRAIN_SEED \
-    --arch $ARCH \
+    --arch $ARCH --scene $SCENE \
     --updates ${OBJ_UPDATES:-150000} --dense-batch 2 --steps-per-call 50 \
     --validate-every 10000 --out $OUT
 python -m dsac_tpu.cli.train_score --synthetic $VIEWS --seed $TRAIN_SEED \
-    --arch $ARCH --training-rounds ${SCORE_ROUNDS:-80} --out $OUT
+    --arch $ARCH --scene $SCENE --training-rounds ${SCORE_ROUNDS:-80} --out $OUT
 echo "=== eval: pretrained only ==="
 python -m dsac_tpu.cli.test_ransac --synthetic 24 --seed $EVAL_SEED \
-    --arch $ARCH --model init --out $OUT -rdraw 0 --fused-refine | tail -4
+    --arch $ARCH --scene $SCENE --model init --out $OUT -rdraw 0 --fused-refine | tail -4
 python -m dsac_tpu.cli.train_ransac --synthetic $VIEWS --seed $TRAIN_SEED \
-    --arch $ARCH --training-rounds ${E2E_ROUNDS:-5000} --steps-per-call 100 \
+    --arch $ARCH --scene $SCENE --training-rounds ${E2E_ROUNDS:-5000} --steps-per-call 100 \
     --refine-mode implicit --out $OUT
 echo "=== eval: end-to-end ==="
 python -m dsac_tpu.cli.test_ransac --synthetic 24 --seed $EVAL_SEED \
-    --arch $ARCH --model endtoend --out $OUT -rdraw 0 --fused-refine | tail -4
+    --arch $ARCH --scene $SCENE --model endtoend --out $OUT -rdraw 0 --fused-refine | tail -4
