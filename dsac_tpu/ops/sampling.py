@@ -139,16 +139,21 @@ def sample_minimal_sets_two_phase(key: jax.Array, coords: jnp.ndarray,
       phase 1: ONE attempt per lane (H solves);
       phase 2: the (few) failed lanes are compacted into a fixed budget
                of K = ceil(H * budget_frac) lanes and re-solved at full
-               depth T-1 (K*(T-1) solves), then scattered back;
-      fallback: if phase 1's failure fraction exceeds the budget (cold
-               nets, degenerate scenes), a lax.cond switches to the
-               plain fixed-T path — never worse than +H solves.
+               depth T-1 (K*(T-1) solves), then scattered back.
 
     Expected solves: H + K*(T-1) ≈ H(1 + budget*(T-1)) vs H*T —
     ~5.7x fewer at T=16, budget 1/8.  Lanes that fail phase 1 and miss
-    the budget (only when >K lanes fail, i.e. never in the fallback-free
-    regime) stay invalid, exactly like a lane whose T fixed attempts all
-    fail.
+    the budget stay invalid, like a lane whose T fixed attempts all
+    fail; when MORE than K lanes fail phase 1 (a cold/untrained
+    coordinate net — not a serving configuration) the pool degrades to
+    ~K + first-attempt-valid hypotheses, which still localizes whenever
+    the fixed-T pool would (a 32-hypothesis pool of valid draws is a
+    working RANSAC; garbage coordinates defeat both paths equally).
+    There is deliberately NO in-graph fixed-T fallback: a lax.cond
+    branch taken per frame turns, under the serve batch vmap, into
+    cond's batching rule broadcasting every branch constant — including
+    the P3P kernel's (3,) SMEM camera operand, whose batched (B, 3)
+    form Mosaic's SMEM tiling rejects.
     """
     H, T = cfg.num_hypotheses, cfg.sample_attempts
     thresh = cfg.inlier_threshold_2d
@@ -160,31 +165,21 @@ def sample_minimal_sets_two_phase(key: jax.Array, coords: jnp.ndarray,
     idx1, poses1, valid1, worst1 = _solve_attempts_fused(
         k1, H, 1, coords, pix, cam, thresh)
     sel1 = _select(idx1, poses1, valid1, worst1, True, coords, pix, cam)
-    frac_invalid = 1.0 - jnp.mean(sel1.valid.astype(jnp.float32))
 
-    def phase2(_):
-        order = jnp.argsort(sel1.valid)  # invalid lanes first
-        lanes = order[:K]
-        idx2, poses2, valid2, worst2 = _solve_attempts_fused(
-            k2, K, T - 1, coords, pix, cam, thresh)
-        sel2 = _select(idx2, poses2, valid2, worst2, True, coords, pix,
-                       cam)
-        take = ~sel1.valid[lanes] & sel2.valid  # only rescue failures
-        R = sel1.poses.R.at[lanes].set(
-            jnp.where(take[:, None, None], sel2.poses.R,
-                      sel1.poses.R[lanes]))
-        t = sel1.poses.t.at[lanes].set(
-            jnp.where(take[:, None], sel2.poses.t, sel1.poses.t[lanes]))
-        indices = sel1.indices.at[lanes].set(
-            jnp.where(take[:, None], sel2.indices, sel1.indices[lanes]))
-        valid = sel1.valid.at[lanes].set(sel1.valid[lanes] | sel2.valid)
-        return MinimalSets(indices=indices, poses=Pose(R, t), valid=valid)
-
-    def fallback(_):
-        return sample_minimal_sets(k2, coords, pix, cam, cfg, fused=True)
-
-    return jax.lax.cond(frac_invalid > budget_frac, fallback, phase2,
-                        None)
+    order = jnp.argsort(sel1.valid)  # invalid lanes first
+    lanes = order[:K]
+    idx2, poses2, valid2, worst2 = _solve_attempts_fused(
+        k2, K, T - 1, coords, pix, cam, thresh)
+    sel2 = _select(idx2, poses2, valid2, worst2, True, coords, pix, cam)
+    take = ~sel1.valid[lanes] & sel2.valid  # only rescue failures
+    R = sel1.poses.R.at[lanes].set(
+        jnp.where(take[:, None, None], sel2.poses.R, sel1.poses.R[lanes]))
+    t = sel1.poses.t.at[lanes].set(
+        jnp.where(take[:, None], sel2.poses.t, sel1.poses.t[lanes]))
+    indices = sel1.indices.at[lanes].set(
+        jnp.where(take[:, None], sel2.indices, sel1.indices[lanes]))
+    valid = sel1.valid.at[lanes].set(sel1.valid[lanes] | sel2.valid)
+    return MinimalSets(indices=indices, poses=Pose(R, t), valid=valid)
 
 
 def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,

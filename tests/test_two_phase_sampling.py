@@ -48,10 +48,12 @@ class TestTwoPhase:
         assert np.median(rot_e) < 1.0
         assert np.median(t_e) < 20.0
 
-    def test_garbage_coords_fall_back_to_fixed_depth(self):
-        """Random coordinates fail nearly every phase-1 lane; the cond
-        must take the fixed-T fallback and reproduce it EXACTLY (same
-        key), so cold nets never regress vs the fixed path."""
+    def test_garbage_coords_degrade_gracefully(self):
+        """Random coordinates fail nearly every phase-1 lane: the budget
+        rescues ~K of them, the rest stay flagged invalid (the pool
+        degrades, it does not corrupt).  No in-graph fixed-T fallback —
+        lax.cond under the serve vmap would batch the kernel's SMEM
+        camera operand (see the two-phase docstring)."""
         _gt, coords, pix = _frame_points()
         cam = SCENE.camera
         rng = np.random.default_rng(5)
@@ -61,15 +63,28 @@ class TestTwoPhase:
         key = jax.random.PRNGKey(9)
         two = sample_minimal_sets_two_phase(key, garbage, pix, cam,
                                             self.CFG)
-        _k1, k2 = jax.random.split(key)
-        fixed = sample_minimal_sets(k2, garbage, pix, cam, self.CFG,
+        fixed = sample_minimal_sets(key, garbage, pix, cam, self.CFG,
                                     fused=True)
-        np.testing.assert_array_equal(np.asarray(two.valid),
-                                      np.asarray(fixed.valid))
-        np.testing.assert_allclose(np.asarray(two.poses.R),
-                                   np.asarray(fixed.poses.R), atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(two.indices),
-                                      np.asarray(fixed.indices))
+        n_two = int(jnp.sum(two.valid))
+        n_fixed = int(jnp.sum(fixed.valid))
+        # every surviving lane is genuinely self-consistent, and invalid
+        # lanes are FLAGGED (downstream scoring buries them)
+        assert n_two <= n_fixed + 8
+        assert two.valid.shape == (64,)
+        assert np.isfinite(np.asarray(two.poses.R)).all()
+        assert np.isfinite(np.asarray(two.poses.t)).all()
+
+    def test_vmapped_over_frames(self):
+        """The serve shape: two-phase under vmap (the exact structure
+        that broke the lax.cond formulation on the Mosaic backend)."""
+        gt, coords, pix = _frame_points()
+        cam = SCENE.camera
+        batched = jax.vmap(
+            lambda k: sample_minimal_sets_two_phase(k, coords, pix, cam,
+                                                    self.CFG))
+        sets = batched(jax.random.split(jax.random.PRNGKey(2), 3))
+        assert sets.poses.R.shape == (3, 64, 3, 3)
+        assert float(jnp.mean(sets.valid.astype(jnp.float32))) > 0.9
 
     def test_attempts_one_delegates(self):
         gt, coords, pix = _frame_points()
