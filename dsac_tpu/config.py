@@ -85,6 +85,10 @@ class PoseConfig:
     # chunks (ops/sampling.py) to bound the tiny-trailing-dim padding
     # scratch that would otherwise OOM the 16k-hypothesis regime.
     hyp_sample_chunk: int = 2048
+    # Two-phase (resample-only-failures) sampling: fraction of the pool
+    # re-solved at full attempt depth after the 1-attempt first pass
+    # (ops/sampling.py:sample_minimal_sets_two_phase).
+    two_phase_budget: float = 0.125
 
 
 @dataclasses.dataclass(frozen=True)

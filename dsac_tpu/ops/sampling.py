@@ -125,7 +125,7 @@ def _solve_attempts_fused(key: jax.Array, n_lanes: int, T: int,
 def sample_minimal_sets_two_phase(key: jax.Array, coords: jnp.ndarray,
                                   pix: jnp.ndarray, cam: Camera,
                                   cfg: PoseConfig,
-                                  budget_frac: float = 0.125
+                                  budget_frac: float | None = None
                                   ) -> MinimalSets:
     """Resample-ONLY-failures hypothesis sampling (serve/eval, fused).
 
@@ -157,6 +157,8 @@ def sample_minimal_sets_two_phase(key: jax.Array, coords: jnp.ndarray,
     """
     H, T = cfg.num_hypotheses, cfg.sample_attempts
     thresh = cfg.inlier_threshold_2d
+    if budget_frac is None:
+        budget_frac = getattr(cfg, "two_phase_budget", 0.125)
     if T <= 1:
         return sample_minimal_sets(key, coords, pix, cam, cfg, fused=True)
     K = max(1, int(np.ceil(H * budget_frac)))

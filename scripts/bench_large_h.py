@@ -45,6 +45,11 @@ def main():
     two_phase = "--two-phase" in argv
     if two_phase:
         argv.remove("--two-phase")
+    budget = None
+    if "--budget" in argv:
+        i = argv.index("--budget")
+        budget = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     hyps = [int(h) for h in argv] or [256, 4096, 16384]
 
     from dsac_tpu.config import DSACConfig, PoseConfig
@@ -68,6 +73,8 @@ def main():
 
     for H in hyps:
         kw = {} if attempts is None else {"sample_attempts": attempts}
+        if budget is not None:
+            kw["two_phase_budget"] = budget
         cfg = DSACConfig(pose=PoseConfig(num_hypotheses=H,
                                          random_draw=False, **kw))
 
@@ -97,6 +104,7 @@ def main():
             "value": round(n * B / dt, 2),
             "unit": f"frames/s (H={H}, fused scoring+refine, batch {B})",
             "sampling": "two_phase" if two_phase else "fixed",
+            **({"budget": budget} if budget is not None else {}),
             "attempts": attempts if attempts is not None else 16,
             "compile_s": round(compile_s, 1),
         }))
