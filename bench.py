@@ -263,6 +263,7 @@ LATENCY_FILE = Path(__file__).parent / "results" / "serve_latency.json"
 
 def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
                     attempts: int, fused_scoring: bool,
+                    two_phase: bool = False,
                     batches=(1, 4, 8, 16), reps: int = 40):
     """Per-dispatch serve latency, fenced (time-to-pose-on-host).
 
@@ -291,7 +292,8 @@ def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
     curve = []
     for B in batches:
         serve_batch, images, _gt, _tr = build(
-            on_tpu, B, verify_topk, 1, arch, attempts, fused_scoring)
+            on_tpu, B, verify_topk, 1, arch, attempts, fused_scoring,
+            two_phase)
         serve = jax.jit(lambda k, imgs: serve_batch(
             jax.random.split(k, B), imgs))
         imgs = images[0]
@@ -320,6 +322,7 @@ def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
             "verify_topk": verify_topk, "attempts": attempts,
             "arch": arch,
             "scoring": "fused_soft" if fused_scoring else "cnn",
+            "sampling": "two_phase" if two_phase else "fixed",
             "backend": "tpu" if on_tpu else "cpu"}
 
 
@@ -349,7 +352,8 @@ def main():
 
     if args.latency:
         rec = measure_latency(on_tpu, args.verify_topk, args.arch,
-                              args.attempts, args.fused_scoring)
+                              args.attempts, args.fused_scoring,
+                              args.two_phase)
         if on_tpu:  # evidence file (BASELINE.md latency table source)
             LATENCY_FILE.parent.mkdir(exist_ok=True)
             LATENCY_FILE.write_text(json.dumps(rec, indent=1) + "\n")
@@ -405,7 +409,12 @@ def main():
         lat = json.loads(LATENCY_FILE.read_text())
         if (lat.get("verify_topk") == args.verify_topk
                 and lat.get("attempts") == args.attempts
-                and lat.get("arch") == args.arch):
+                and lat.get("arch") == args.arch
+                and lat.get("scoring") == ("fused_soft" if
+                                           args.fused_scoring else "cnn")
+                and lat.get("sampling", "fixed") == ("two_phase" if
+                                                     args.two_phase
+                                                     else "fixed")):
             rec["p50_ms"] = lat["value"]
             rec["p50_source"] = "results/serve_latency.json"
     if args.medians:

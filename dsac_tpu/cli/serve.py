@@ -180,12 +180,15 @@ def main(argv=None):
                         "materialises in HBM)")
     p.add_argument("--two-phase-sampling", action="store_true",
                    help="resample-only-failures hypothesis sampling: one "
-                        "P3P attempt per lane, failed lanes compacted and "
-                        "re-solved at full --attempts depth (fallback to "
-                        "fixed-depth if >12.5%% of lanes fail). Restores "
-                        "the reference's retry-until-valid semantics "
-                        "(core/cnn.h:1079-1129) at ~1/5 the solves in "
-                        "the large-H regime")
+                        "P3P attempt per lane, then only failed lanes "
+                        "(budget H/8, PoseConfig.two_phase_budget) "
+                        "re-solve at full --attempts depth. Restores the "
+                        "reference's retry-until-valid semantics "
+                        "(core/cnn.h:1079-1129) at ~1/5 the solves; a "
+                        "TRAINED coordinate net is assumed — with a cold "
+                        "net, lanes beyond the budget stay flagged "
+                        "invalid (graceful pool degradation, no "
+                        "fixed-depth fallback)")
     p.add_argument("--attempts", type=int, default=None,
                    help="P3P candidate minimal sets per hypothesis "
                         "(default PoseConfig.sample_attempts=16, the "
@@ -202,6 +205,11 @@ def main(argv=None):
 
     if args.fused_refine is None:
         args.fused_refine = jax.default_backend() == "tpu"
+    if args.softam and args.verify_topk:
+        print(blue("NOTE: --verify-topk is a no-op with --softam (the "
+                   "soft-argmax average IS the served pose; there is no "
+                   "pool selection to verify)."))
+        args.verify_topk = 0
 
     source = common.frame_source(args, cfg, "test")
     coord_net, score_net, coord_apply, score_apply = common.build_models(

@@ -148,6 +148,18 @@ def main(argv=None, softam: bool = False):
         if cfg.pose.random_draw:
             print(blue("NOTE: --mesh evaluation selects by argmax "
                        "(evaluate with -rdraw 0 for parity)."))
+        # modes the sharded eval body does not implement must fail
+        # loudly, not silently run something else under the same tag
+        unsupported = [flag for flag, on in [
+            ("--fused-scoring", args.fused_scoring),
+            ("--select inlier", args.select == "inlier"),
+            ("--refine-variant hard", args.refine_variant == "hard"),
+        ] if on]
+        if unsupported:
+            raise SystemExit(f"--mesh evaluation does not support "
+                             f"{', '.join(unsupported)}; run them "
+                             "single-chip, or use cli/serve.py --mesh "
+                             "for fused-scoring throughput runs")
         capply, coord_collective = common.mesh_coord_apply(
             args, coord_net, coord_apply, n_hyp)
         if use_score_net:

@@ -219,18 +219,9 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
     dup = jax.vmap(jax.vmap(_has_dup))(idx)  # (H, T)
 
     if fused:
-        from dsac_tpu.ops.p3p_pallas import p3p_solve_pallas
-
-        obj = coords[idx].reshape(H * T, 4, 3)
-        img = pix[idx].astype(jnp.float32).reshape(H * T, 4, 2)
-        cam_vec = jnp.stack([cam.focal, cam.cx, cam.cy]).astype(jnp.float32)
-        flat, solved, worst = p3p_solve_pallas(
-            obj, img, cam_vec, interpret=jax.default_backend() != "tpu")
-        poses = Pose(flat.R.reshape(H, T, 3, 3), flat.t.reshape(H, T, 3))
-        valid = (solved.reshape(H, T)
-                 & (worst.reshape(H, T) < cfg.inlier_threshold_2d) & ~dup)
-        return _select(idx, poses, valid, worst.reshape(H, T), True,
-                       coords, pix, cam)
+        idx, poses, valid, worst = _solve_attempts_fused(
+            key, H, T, coords, pix, cam, cfg.inlier_threshold_2d)
+        return _select(idx, poses, valid, worst, True, coords, pix, cam)
 
     def block(args):
         """Solve one block of hypotheses: idx_b (Hb, T, 4), dup_b (Hb, T)."""

@@ -49,7 +49,9 @@ def shard_pool(mesh: Mesh, *arrays):
     for a in arrays:
         a = np.asarray(a)
         if Fp != F:
-            a = np.concatenate([a, a[:Fp - F]])
+            # cycle the pool as often as needed (F may be < Fp - F)
+            reps = -(-Fp // F)
+            a = np.concatenate([a] * reps)[:Fp]
         out.append(jax.device_put(a, sh))
     return tuple(out)
 

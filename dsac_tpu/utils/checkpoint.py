@@ -46,13 +46,37 @@ def _globalize(state: Any) -> Any:
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     rep = NamedSharding(Mesh(np.asarray(jax.devices()), ("_ckpt",)), P())
 
+    converted = []
+
     def fix(x):
         if (isinstance(x, jax.Array) and x.is_fully_addressable
                 and len(x.sharding.device_set) < jax.device_count()):
-            return jax.device_put(np.asarray(x), rep)
+            v = np.asarray(x)
+            converted.append(v)
+            return jax.device_put(v, rep)
         return x
 
-    return jax.tree.map(fix, state)
+    out = jax.tree.map(fix, state)
+    if converted:
+        # the "host-local leaves are replicated" assumption is VERIFIED,
+        # not trusted: a per-process-divergent leaf (e.g. a local step
+        # counter outside the collective path) silently persisted as
+        # "replicated" would be a corrupt checkpoint.  One tiny
+        # allgathered digest per save catches it loudly.
+        import hashlib
+        from jax.experimental import multihost_utils
+        digest = hashlib.sha256()
+        for v in converted:
+            digest.update(np.ascontiguousarray(v).tobytes())
+        h = np.frombuffer(digest.digest()[:16], np.uint32)  # x64-safe
+        all_h = np.asarray(multihost_utils.process_allgather(h))
+        if not (all_h == all_h[0]).all():
+            raise ValueError(
+                "checkpoint.save: host-local leaves differ across "
+                "processes — they cannot be globalized as replicated "
+                "arrays. Make per-process state a properly sharded "
+                "global array before saving.")
+    return out
 
 
 def save(directory: str | Path, name: str, state: Any, step: int | None = None,
