@@ -60,16 +60,16 @@ def parse_args(argv=None):
                          "0.95 -> 1.0 by absorbing score-CNN misdraws")
     ap.add_argument("--arch", choices=["dense", "dense_s2d"],
                     default="dense")
-    ap.add_argument("--attempts", type=int, default=4,
-                    help="P3P candidate minimal sets per hypothesis "
-                         "(PoseConfig.sample_attempts; reference retries "
-                         "until valid, core/cnn.h:1079-1129 — training "
-                         "keeps the conservative 16). Sampling is the "
-                         "2nd-largest serve stage; the pool + verify_topk "
-                         "consensus absorb the rare degenerate set, so "
-                         "serve needs few attempts: measured 16/4/2 -> "
-                         "636.8/689.5/704.6 reloc/s, all accuracy 1.0 "
-                         "with identical medians (BASELINE.md)")
+    ap.add_argument("--attempts", type=int, default=16,
+                    help="P3P candidate minimal-set attempt depth per "
+                         "hypothesis (PoseConfig.sample_attempts; the "
+                         "reference retries until valid, "
+                         "core/cnn.h:1079-1129). With two-phase sampling "
+                         "(the default) the FULL 16-attempt depth costs "
+                         "~the same as 4 fixed attempts (702.0 vs 707.4 "
+                         "reloc/s, accuracy 1.0, identical medians — "
+                         "BASELINE.md round 4), so the conservative "
+                         "reference depth is the default again")
     ap.add_argument("--fused-scoring", action="store_true",
                     help="score with the fused reprojection+soft-inlier "
                          "kernel instead of the trained score CNN (as "
@@ -80,10 +80,14 @@ def parse_args(argv=None):
     ap.add_argument("--measure-cpu-baseline", action="store_true",
                     help="measure the XLA:CPU baseline at this config and "
                          "cache it in BASELINE_CPU.json")
-    ap.add_argument("--two-phase", action="store_true",
+    ap.add_argument("--two-phase", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="resample-only-failures sampling (one attempt "
                          "per lane + budgeted re-solve of failures; see "
-                         "cli/serve.py --two-phase-sampling)")
+                         "cli/serve.py --two-phase-sampling). DEFAULT ON "
+                         "for the headline bench: full 16-attempt "
+                         "robustness at the 4-attempt price; "
+                         "--no-two-phase restores fixed-depth sampling")
     ap.add_argument("--latency", action="store_true",
                     help="measure serve LATENCY instead of throughput: "
                          "fenced single-dispatch p50/p99 over batch "
@@ -331,6 +335,12 @@ def main():
     config = {"queue": 1 if args.measure_cpu_baseline else args.queue,
               "batch": args.batch, "verify_topk": args.verify_topk,
               "arch": args.arch, "attempts": args.attempts}
+    if args.measure_cpu_baseline:
+        # the CPU baseline runs the jnp sampler at ITS best config
+        # (fixed depth, 4 attempts): interpret-mode Pallas would cripple
+        # the CPU side and flatter vs_baseline
+        args.two_phase = False
+        config["attempts"] = 4
 
     if args.measure_cpu_baseline:
         import jax
