@@ -70,11 +70,19 @@ def parse_args(argv=None):
                          "reloc/s, accuracy 1.0, identical medians — "
                          "BASELINE.md round 4), so the conservative "
                          "reference depth is the default again")
-    ap.add_argument("--fused-scoring", action="store_true",
+    ap.add_argument("--fused-scoring",
+                    action=argparse.BooleanOptionalAction, default=True,
                     help="score with the fused reprojection+soft-inlier "
                          "kernel instead of the trained score CNN (as "
                          "cli/serve.py --fused-scoring; the (H, N) error "
-                         "surface never materialises in HBM)")
+                         "surface never materialises in HBM). DEFAULT ON "
+                         "since round 4: on the hard 'noisy' archetype "
+                         "the soft-inlier head MEASURES more accurate "
+                         "than the trained score CNN (0.969 vs 0.813 at "
+                         "+16% throughput, BASELINE.md decision matrix) "
+                         "— the reference-parity score-CNN path remains "
+                         "the default on cli/test_ransac and one flag "
+                         "away here (--no-fused-scoring)")
     ap.add_argument("--medians", action="store_true",
                     help="add median rot/trans errors to the JSON line")
     ap.add_argument("--measure-cpu-baseline", action="store_true",
