@@ -12,7 +12,8 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
-SCENES = sys.argv[1:] or ["gen_fast", "repeat", "bare", "noisy", "clutter"]
+SCENES = sys.argv[1:] or ["gen_fast", "repeat", "bare", "noisy",
+                          "clutter"]
 LABEL = {"gen_fast": "room (rounds 1-3 benchmark)"}
 
 
