@@ -189,6 +189,11 @@ def main(argv=None):
                         "net, lanes beyond the budget stay flagged "
                         "invalid (graceful pool degradation, no "
                         "fixed-depth fallback)")
+    p.add_argument("--two-phase-budget", type=float, default=None,
+                   help="fraction of the pool re-solved at full depth in "
+                        "phase 2 (PoseConfig.two_phase_budget, default "
+                        "0.125; 0.0625 measured at H=16k: 45.0 reloc/s "
+                        "= 2x the fixed path)")
     p.add_argument("--attempts", type=int, default=None,
                    help="P3P candidate minimal sets per hypothesis "
                         "(default PoseConfig.sample_attempts=16, the "
@@ -198,10 +203,15 @@ def main(argv=None):
                         "attempts because pool redundancy replaces "
                         "per-hypothesis retries (BASELINE.md)")
     args, cfg, strings = common.parse_with_flags(p, argv)
-    if args.attempts is not None:
+    if args.attempts is not None or args.two_phase_budget is not None:
         import dataclasses
+        over = {}
+        if args.attempts is not None:
+            over["sample_attempts"] = args.attempts
+        if args.two_phase_budget is not None:
+            over["two_phase_budget"] = args.two_phase_budget
         cfg = dataclasses.replace(cfg, pose=dataclasses.replace(
-            cfg.pose, sample_attempts=args.attempts))
+            cfg.pose, **over))
 
     if args.fused_refine is None:
         args.fused_refine = jax.default_backend() == "tpu"
