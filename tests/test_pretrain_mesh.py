@@ -5,13 +5,9 @@ against a collective-free twin — exact schedule, exact draws — so a
 collective/layout bug is a numeric difference, not a statistical blur.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-import pytest
 
 from dsac_tpu.config import DataConfig, DSACConfig, PoseConfig
 from dsac_tpu.data.synthetic import SyntheticScene

@@ -7,8 +7,6 @@ localizing averaged pose, single-chip and hyp-sharded (Pallas kernels
 run interpreted on the CPU farm).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
