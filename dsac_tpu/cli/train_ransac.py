@@ -42,6 +42,15 @@ def main(argv=None, softam: bool = False):
                    help="fuse this many training rounds into one device "
                         "dispatch (lax.scan over a prestaged frame pool; "
                         "amortises remote-TPU dispatch latency)")
+    p.add_argument("--score-head", choices=["cnn", "soft"], default="cnn",
+                   help="'soft' trains with the parameter-free "
+                        "soft-inlier scoring head instead of the score "
+                        "CNN: the expected-loss gradient flows only to "
+                        "the coordinate net. Motivated by the hard "
+                        "archetypes, where e2e training degrades the "
+                        "score CNN (entropy collapse on mode-poisoned "
+                        "pools — BASELINE.md repeat/clutter rows) while "
+                        "soft-inlier selection measures MORE accurate")
     p.add_argument("--refine-mode",
                    choices=["auto", "unroll", "implicit", "implicit_jnp"],
                    default="auto",
@@ -75,13 +84,21 @@ def main(argv=None, softam: bool = False):
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, cfg.net.rgb_patch_size,
                            cfg.net.rgb_patch_size, 3)))
-    try:
-        score_params = ckpt.restore(args.out, ckpt.SCORE_INIT)["params"]
-        print(blue("Loaded score_model_init."))
-    except Exception:
-        print(blue("No score_model_init; initialising score net."))
-        score_params = score_net.init(jax.random.PRNGKey(2),
-                                      jnp.zeros((1, grid, grid)))
+    if args.score_head == "soft":
+        # parameter-free head: empty score pytree, zero score gradients
+        soft_fn = common.soft_inlier_score_fn(cfg)
+        score_apply = lambda params, dm: soft_fn(dm)
+        score_params = {}
+        print(blue("Scoring head: soft-inlier (parameter-free; only the "
+                   "coordinate net trains)."))
+    else:
+        try:
+            score_params = ckpt.restore(args.out, ckpt.SCORE_INIT)["params"]
+            print(blue("Loaded score_model_init."))
+        except Exception:
+            print(blue("No score_model_init; initialising score net."))
+            score_params = score_net.init(jax.random.PRNGKey(2),
+                                          jnp.zeros((1, grid, grid)))
 
     refine_mode = args.refine_mode
     if refine_mode == "auto":
@@ -103,9 +120,14 @@ def main(argv=None, softam: bool = False):
         snap_c = ckpt.restore(args.out, obj_name,
                               {"params": state.coord_params,
                                "opt_state": state.coord_opt, "step": 0})
-        snap_s = ckpt.restore(args.out, score_name,
-                              {"params": state.score_params,
-                               "opt_state": state.score_opt, "step": 0})
+        if args.score_head == "soft":
+            snap_s = {"params": state.score_params,
+                      "opt_state": state.score_opt}
+        else:
+            snap_s = ckpt.restore(args.out, score_name,
+                                  {"params": state.score_params,
+                                   "opt_state": state.score_opt,
+                                   "step": 0})
         state = state._replace(
             coord_params=snap_c["params"], coord_opt=snap_c["opt_state"],
             score_params=snap_s["params"], score_opt=snap_s["opt_state"],
@@ -130,7 +152,10 @@ def main(argv=None, softam: bool = False):
     val_fn = None
     if args.validate_every > 0:
         from dsac_tpu.pipeline import evaluate_frame, process_frame
-        val_source = (common.SyntheticSource(args.validate_frames, seed=777)
+        # same SCENE as training (archetypes!), disjoint viewpoint seed
+        val_source = (common.SyntheticSource(args.validate_frames, seed=777,
+                                             scene=getattr(source, "scene",
+                                                           None))
                       if not args.data else source)
 
         def validate(state):
@@ -170,10 +195,11 @@ def main(argv=None, softam: bool = False):
                       {"params": state.coord_params,
                        "opt_state": state.coord_opt,
                        "step": int(state.step)}, step=rnd + 1)
-            ckpt.save(args.out, score_name,
-                      {"params": state.score_params,
-                       "opt_state": state.score_opt,
-                       "step": int(state.step)}, step=rnd + 1)
+            if args.score_head != "soft":  # nothing to snapshot
+                ckpt.save(args.out, score_name,
+                          {"params": state.score_params,
+                           "opt_state": state.score_opt,
+                           "step": int(state.step)}, step=rnd + 1)
             rng_sidecar.write_text(json.dumps(
                 {"round": rnd + 1, "state": rng.bit_generator.state}))
 
