@@ -51,6 +51,14 @@ def main(argv=None, softam: bool = False):
                         "score CNN (entropy collapse on mode-poisoned "
                         "pools — BASELINE.md repeat/clutter rows) while "
                         "soft-inlier selection measures MORE accurate")
+    p.add_argument("--score-temp", type=float, default=1.0,
+                   help="divide soft-head scores by this temperature in "
+                        "the TRAINING softmax (soft-inlier counts span "
+                        "O(100): untempered they are one-hot and the "
+                        "expected-loss objective degenerates to "
+                        "winner-take-all — BASELINE.md negative result). "
+                        "Selection at eval/serve is argmax and therefore "
+                        "temperature-invariant")
     p.add_argument("--refine-mode",
                    choices=["auto", "unroll", "implicit", "implicit_jnp"],
                    default="auto",
@@ -87,7 +95,8 @@ def main(argv=None, softam: bool = False):
     if args.score_head == "soft":
         # parameter-free head: empty score pytree, zero score gradients
         soft_fn = common.soft_inlier_score_fn(cfg)
-        score_apply = lambda params, dm: soft_fn(dm)
+        temp = args.score_temp
+        score_apply = lambda params, dm: soft_fn(dm) / temp
         score_params = {}
         print(blue("Scoring head: soft-inlier (parameter-free; only the "
                    "coordinate net trains)."))
