@@ -177,8 +177,20 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
         cmap = coord_net.apply(coord_params, image[None])[0]
         return gather_dense_coords(cmap, pix, stride=8)
 
-    def score_apply(dm):
-        return score_net.apply(score_params, dm)
+    if fused_scoring and not on_tpu:
+        # same soft-inlier head, jnp lowering: on CPU the fused Pallas
+        # scoring kernel would run in interpret mode (an emulator, not a
+        # baseline); the jnp head computes identical scores
+        # (tests/test_ops_pipeline.py::test_large_h_fused_scoring)
+        from dsac_tpu.ops import soft_inlier_scores
+
+        def score_apply(dm):
+            return soft_inlier_scores(dm.reshape(dm.shape[0], -1),
+                                      cfg.pose.inlier_threshold_2d,
+                                      cfg.pose.score_beta)
+    else:
+        def score_apply(dm):
+            return score_net.apply(score_params, dm)
 
     def serve_batch(keys, imgs):
         res = process_frames_batched(keys, imgs, coord_apply, score_apply,
@@ -186,7 +198,8 @@ def build(on_tpu: bool, batch: int, verify_topk: int, queue: int,
                                      fused_refine=on_tpu,
                                      fused_sampling=("two_phase" if two_phase
                                                      else on_tpu),
-                                     scoring=("fused_soft" if fused_scoring
+                                     scoring=("fused_soft"
+                                              if fused_scoring and on_tpu
                                               else "cnn"),
                                      verify_topk=verify_topk)
         return res.final.R, res.final.t
@@ -273,6 +286,17 @@ def measure(on_tpu: bool, queue: int = 8, batch: int = 8,
 LATENCY_FILE = Path(__file__).parent / "results" / "serve_latency.json"
 
 
+def _git_rev() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", str(Path(__file__).parent), "rev-parse",
+             "--short", "HEAD"], capture_output=True, text=True,
+            timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
                     attempts: int, fused_scoring: bool,
                     two_phase: bool = False,
@@ -340,26 +364,35 @@ def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
 
 def main():
     args = parse_args()
+    # the ALGORITHMIC config both sides must share for vs_baseline to be
+    # apples-to-apples (VERDICT r4 #4): pool size / attempt depth /
+    # verification / scoring head.  Kernel lowerings (two-phase Pallas
+    # sampling, fused scoring) are implementation, not algorithm: the CPU
+    # baseline runs the jnp twins of the same program at the same depth —
+    # interpret-mode Pallas is an emulator, not a baseline.
     config = {"queue": 1 if args.measure_cpu_baseline else args.queue,
               "batch": args.batch, "verify_topk": args.verify_topk,
-              "arch": args.arch, "attempts": args.attempts}
-    if args.measure_cpu_baseline:
-        # the CPU baseline runs the jnp sampler at ITS best config
-        # (fixed depth, 4 attempts): interpret-mode Pallas would cripple
-        # the CPU side and flatter vs_baseline
-        args.two_phase = False
-        config["attempts"] = 4
+              "arch": args.arch, "attempts": args.attempts,
+              "scoring": ("soft_inlier" if args.fused_scoring
+                          else "score_cnn")}
 
     if args.measure_cpu_baseline:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        r = measure(on_tpu=False, **config)
+        mcfg = dict(config)
+        mcfg.pop("scoring")
+        r = measure(on_tpu=False, fused_scoring=args.fused_scoring,
+                    two_phase=False, **mcfg)
         CPU_BASELINE_FILE.write_text(json.dumps({
             "reloc_per_s": round(r["reloc_per_s"], 3),
             "config": config,
-            "note": "identical serve program on XLA:CPU, all host cores; "
-                    "generous stand-in for the CPU(OpenMP)+1-GPU reference",
+            "lowering": "jnp twins of the TPU kernels (fixed-depth "
+                        "sampling at the same attempt count, jnp "
+                        "soft-inlier head)",
+            "note": "identical serve algorithm on XLA:CPU, all host "
+                    "cores; generous stand-in for the CPU(OpenMP)+1-GPU "
+                    "reference",
         }, indent=1))
         print(CPU_BASELINE_FILE.read_text())
         return
@@ -372,6 +405,10 @@ def main():
         rec = measure_latency(on_tpu, args.verify_topk, args.arch,
                               args.attempts, args.fused_scoring,
                               args.two_phase)
+        # stamp the evidence so the headline bench can label staleness
+        # (a kernel/model change invalidates the number until re-run)
+        rec["git_rev"] = _git_rev()
+        rec["date"] = time.strftime("%Y-%m-%d")
         if on_tpu:  # evidence file (BASELINE.md latency table source)
             LATENCY_FILE.parent.mkdir(exist_ok=True)
             LATENCY_FILE.write_text(json.dumps(rec, indent=1) + "\n")
@@ -386,6 +423,7 @@ def main():
         stored = dict(rec.get("config", {}))
         if stored:
             stored.setdefault("attempts", 16)  # pre-flag baselines
+            stored.setdefault("scoring", "score_cnn")
         want = dict(config, queue=1)
         if stored and stored != want:
             baseline_note = (f"cpu baseline measured at {stored}, this "
@@ -434,7 +472,12 @@ def main():
                                                      args.two_phase
                                                      else "fixed")):
             rec["p50_ms"] = lat["value"]
-            rec["p50_source"] = "results/serve_latency.json"
+            src = (f"results/serve_latency.json@"
+                   f"{lat.get('git_rev', 'unstamped')} "
+                   f"{lat.get('date', '')}").strip()
+            if lat.get("git_rev") != _git_rev():
+                src += " (code changed since; rerun --latency)"
+            rec["p50_source"] = src
     if args.medians:
         rec["median_rot_deg"] = round(r["median_rot_deg"], 4)
         rec["median_trans_mm"] = round(r["median_trans_mm"], 3)

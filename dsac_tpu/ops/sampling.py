@@ -215,13 +215,13 @@ def sample_minimal_sets(key: jax.Array, coords: jnp.ndarray,
     n = coords.shape[0]
     H, T = cfg.num_hypotheses, cfg.sample_attempts
 
-    idx = jax.random.randint(key, (H, T, 4), 0, n)  # with replacement
-    dup = jax.vmap(jax.vmap(_has_dup))(idx)  # (H, T)
-
     if fused:
         idx, poses, valid, worst = _solve_attempts_fused(
             key, H, T, coords, pix, cam, cfg.inlier_threshold_2d)
         return _select(idx, poses, valid, worst, True, coords, pix, cam)
+
+    idx = jax.random.randint(key, (H, T, 4), 0, n)  # with replacement
+    dup = jax.vmap(jax.vmap(_has_dup))(idx)  # (H, T)
 
     def block(args):
         """Solve one block of hypotheses: idx_b (Hb, T, 4), dup_b (Hb, T)."""

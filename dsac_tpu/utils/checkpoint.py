@@ -57,25 +57,29 @@ def _globalize(state: Any) -> Any:
         return x
 
     out = jax.tree.map(fix, state)
-    if converted:
-        # the "host-local leaves are replicated" assumption is VERIFIED,
-        # not trusted: a per-process-divergent leaf (e.g. a local step
-        # counter outside the collective path) silently persisted as
-        # "replicated" would be a corrupt checkpoint.  One tiny
-        # allgathered digest per save catches it loudly.
-        import hashlib
-        from jax.experimental import multihost_utils
-        digest = hashlib.sha256()
-        for v in converted:
-            digest.update(np.ascontiguousarray(v).tobytes())
-        h = np.frombuffer(digest.digest()[:16], np.uint32)  # x64-safe
-        all_h = np.asarray(multihost_utils.process_allgather(h))
-        if not (all_h == all_h[0]).all():
-            raise ValueError(
-                "checkpoint.save: host-local leaves differ across "
-                "processes — they cannot be globalized as replicated "
-                "arrays. Make per-process state a properly sharded "
-                "global array before saving.")
+    # the "host-local leaves are replicated" assumption is VERIFIED, not
+    # trusted: a per-process-divergent leaf (e.g. a local step counter
+    # outside the collective path) silently persisted as "replicated"
+    # would be a corrupt checkpoint.  One tiny allgathered record per
+    # save — [n_converted, digest] — catches it loudly.  The gather runs
+    # UNCONDITIONALLY: if processes disagree on WHICH leaves are
+    # host-local, a converted-only gather would deadlock (some processes
+    # skip the collective) instead of raising.
+    import hashlib
+    from jax.experimental import multihost_utils
+    digest = hashlib.sha256()
+    for v in converted:
+        digest.update(np.ascontiguousarray(v).tobytes())
+    d = digest.digest()[:16] if converted else bytes(16)
+    h = np.concatenate([np.asarray([len(converted)], np.uint32),
+                        np.frombuffer(d, np.uint32)])  # x64-safe
+    all_h = np.asarray(multihost_utils.process_allgather(h))
+    if not (all_h == all_h[0]).all():
+        raise ValueError(
+            "checkpoint.save: processes disagree on host-local leaves "
+            f"(count+digest rows {all_h.tolist()}) — they cannot be "
+            "globalized as replicated arrays. Make per-process state a "
+            "properly sharded global array before saving.")
     return out
 
 

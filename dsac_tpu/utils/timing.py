@@ -56,17 +56,23 @@ class StopWatch:
 
 
 @contextlib.contextmanager
-def stage(name: str, outputs_fn, results: dict | None = None,
+def stage(name: str, *, outputs_fn=None, results: dict | None = None,
           verbose: bool = False):
     """Time a pipeline stage, synced through :func:`fence`.
 
-    ``outputs_fn`` is a zero-arg callable returning the stage's actual
-    outputs (any pytree); it is called after the block and fenced, so the
-    recorded time includes real device completion.  There is deliberately
-    no fence-free mode: ``jax.effects_barrier`` returns early on the axon
-    backend and produced silently-wrong stage numbers (BASELINE.md
-    measurement-integrity note).
+    ``outputs_fn`` is a REQUIRED keyword-only zero-arg callable returning
+    the stage's actual outputs (any pytree); it is called after the block
+    and fenced, so the recorded time includes real device completion.
+    There is deliberately no fence-free mode: ``jax.effects_barrier``
+    returns early on the axon backend and produced silently-wrong stage
+    numbers (BASELINE.md measurement-integrity note).
     """
+    if outputs_fn is None:
+        raise TypeError(
+            "stage() requires outputs_fn=<zero-arg callable returning the "
+            "stage outputs>: timings must be synced through fence() — "
+            "jax.effects_barrier/block_until_ready return early on the "
+            "axon backend and produce silently-wrong numbers.")
     t0 = time.perf_counter()
     yield
     fence(outputs_fn())

@@ -106,6 +106,114 @@ class TestPoseParsing:
         np.testing.assert_array_equal(read_sensor_trans(p), m)
 
 
+class TestLink7Scenes:
+    """link_7scenes on a synthetic raw 7-Scenes tree (VERDICT r4 #5).
+
+    Builds the raw layout the real download has —
+    seq-XX/frame-XXXXXX.{color.png,depth.png,pose.txt} plus
+    TrainSplit.txt/TestSplit.txt — links it with cli/link_7scenes
+    (reference link_7scenes.py:49-125), then drives the linked tree
+    through SevenScenesDataset and a full DSAC serve of one frame.
+    """
+
+    @pytest.fixture(scope="class")
+    def linked(self, tmp_path_factory):
+        from dsac_tpu.cli import link_7scenes
+
+        base = tmp_path_factory.mktemp("raw7")
+        raw_scene = base / "raw" / "mini7"
+        translation = np.asarray([0.9, -0.4, 1.3])
+        frames = {}
+        for seq in (1, 2):
+            seq_dir = raw_scene / f"seq-{seq:02d}"
+            seq_dir.mkdir(parents=True)
+            for i in range(2):
+                pose, rgb, depth, coords = SCENE.frame(
+                    jax.random.PRNGKey(10 * seq + i))
+                rgb_u8 = np.asarray(rgb, np.float32).astype(np.uint8)
+                depth_u16 = np.asarray(depth).astype(np.uint16)
+                stem = seq_dir / f"frame-{i:06d}"
+                Image.fromarray(rgb_u8).save(f"{stem}.color.png")
+                Image.fromarray(depth_u16.astype(np.int32), mode="I").convert(
+                    "I;16").save(f"{stem}.depth.png")
+                write_pose_file(f"{stem}.pose.txt", np.asarray(pose.R),
+                                np.asarray(pose.t), translation)
+                frames[(seq, i)] = (np.asarray(pose.R), np.asarray(pose.t),
+                                    rgb_u8, depth_u16, np.asarray(coords))
+        (raw_scene / "TrainSplit.txt").write_text("sequence1\n")
+        (raw_scene / "TestSplit.txt").write_text("sequence2\n")
+
+        out = base / "linked"
+        link_7scenes.main([str(base / "raw"), str(out),
+                           "--scenes", "mini7", "absent_scene"])
+        (out / "translation.txt").write_text(
+            " ".join(map(str, translation)) + "\n")
+        return out, frames
+
+    def test_split_layout_and_counts(self, linked):
+        out, _frames = linked
+        for split, seq in [("training", 1), ("test", 2)]:
+            root = out / split / "mini7"
+            for sub, suffix in [("rgb_noseg", ".png"),
+                                ("depth_noseg", ".png"), ("poses", ".txt")]:
+                files = sorted((root / sub).iterdir())
+                assert [f.name for f in files] == [
+                    f"seq{seq:02d}_frame-{i:06d}{suffix}" for i in range(2)]
+                assert all(f.is_symlink() for f in files)
+
+    def test_relink_is_idempotent(self, linked):
+        from dsac_tpu.cli import link_7scenes
+
+        out, _frames = linked
+        link_7scenes.link_scene(out.parent / "raw" / "mini7", out)
+        files = list((out / "training" / "mini7" / "rgb_noseg").iterdir())
+        assert len(files) == 2
+
+    def test_linked_tree_loads(self, linked):
+        out, frames = linked
+        ds = SevenScenesDataset(out / "test" / "mini7", register_depth=False)
+        assert len(ds) == 2
+        rgb, depth, (R, t) = ds[0]
+        np.testing.assert_array_equal(rgb, frames[(2, 0)][2])
+        np.testing.assert_array_equal(depth, frames[(2, 0)][3])
+        np.testing.assert_allclose(R, frames[(2, 0)][0], atol=1e-5)
+        np.testing.assert_allclose(t, frames[(2, 0)][1], atol=0.5)
+
+    def test_serve_one_linked_frame(self, linked):
+        # end-to-end over the linked tree: GT coords regenerated from the
+        # linked depth+pose feed the full DSAC serve (the path real data
+        # will take first), and the pose must localize at 5cm/5deg
+        import jax.numpy as jnp
+
+        from dsac_tpu.config import DSACConfig, PoseConfig
+        from dsac_tpu.geometry import Pose, pose_errors
+        from dsac_tpu.ops import soft_inlier_scores
+        from dsac_tpu.pipeline import process_frame
+
+        out, frames = linked
+        ds = SevenScenesDataset(out / "test" / "mini7", register_depth=False)
+        obj = jnp.asarray(ds.get_obj(1))  # (H, W, 3) mm from depth+pose
+        rgb = jnp.asarray(ds.get_rgb(1), jnp.float32)
+        R, t = ds.get_pose(1)
+        cfg = DSACConfig(pose=PoseConfig(num_hypotheses=32,
+                                         random_draw=False))
+
+        def coord_fn(image, pix):
+            return obj[pix[:, 1], pix[:, 0]] / 1000.0
+
+        def score_fn(dm):
+            return soft_inlier_scores(dm.reshape(dm.shape[0], -1),
+                                      cfg.pose.inlier_threshold_2d,
+                                      cfg.pose.score_beta)
+
+        res = process_frame(jax.random.PRNGKey(3), rgb, coord_fn, score_fn,
+                            SCENE.camera, cfg, refine_all=False)
+        rot_err, t_err = pose_errors(
+            res.final, Pose(jnp.asarray(R, jnp.float32),
+                            jnp.asarray(t, jnp.float32)))
+        assert float(rot_err) < 5.0 and float(t_err) < 50.0
+
+
 class TestDataset:
     def test_basic_accessors(self, mini_dataset):
         root, frames = mini_dataset
