@@ -297,6 +297,23 @@ def _git_rev() -> str:
         return "unknown"
 
 
+def _code_changed_since(rev: str | None) -> bool:
+    """True when the serve CODE (not results/ evidence or weights)
+    differs from `rev` — the only change class that stales a committed
+    latency measurement."""
+    if not rev or rev == "unknown":
+        return True
+    import subprocess
+    try:
+        r = subprocess.run(
+            ["git", "-C", str(Path(__file__).parent), "diff", "--quiet",
+             rev, "HEAD", "--", "dsac_tpu", "bench.py"],
+            capture_output=True, timeout=10)
+        return r.returncode != 0
+    except Exception:
+        return True
+
+
 def measure_latency(on_tpu: bool, verify_topk: int, arch: str,
                     attempts: int, fused_scoring: bool,
                     two_phase: bool = False,
@@ -475,7 +492,7 @@ def main():
             src = (f"results/serve_latency.json@"
                    f"{lat.get('git_rev', 'unstamped')} "
                    f"{lat.get('date', '')}").strip()
-            if lat.get("git_rev") != _git_rev():
+            if _code_changed_since(lat.get("git_rev")):
                 src += " (code changed since; rerun --latency)"
             rec["p50_source"] = src
     if args.medians:

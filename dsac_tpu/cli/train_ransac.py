@@ -59,6 +59,18 @@ def main(argv=None, softam: bool = False):
                         "winner-take-all — BASELINE.md negative result). "
                         "Selection at eval/serve is argmax and therefore "
                         "temperature-invariant")
+    p.add_argument("--score-anchor", type=float, default=0.0,
+                   help="weight of a supervised anchor on the score CNN "
+                        "during e2e: L1 between its scores and the "
+                        "pretrain labels -10*min(maxLoss(raw hyp), 40) "
+                        "recomputed on each round's own pool "
+                        "(train_score.cpp:229 convention, GT poses are "
+                        "available at training time). Counters the "
+                        "decoy-archetype failure where the REINFORCE "
+                        "term alone drifts the score CNN onto decoy-"
+                        "consistent preferences (BASELINE.md repeat/"
+                        "clutter rows). 0 = off (reference-faithful); "
+                        "ignored with --score-head soft and --mesh")
     p.add_argument("--refine-mode",
                    choices=["auto", "unroll", "implicit", "implicit_jnp"],
                    default="auto",
@@ -150,9 +162,18 @@ def main(argv=None, softam: bool = False):
     except FileNotFoundError:
         pass
 
+    anchor = args.score_anchor if args.score_head == "cnn" else 0.0
+    if args.score_anchor > 0 and args.score_head != "cnn":
+        print(blue("--score-anchor ignored: the soft head has no score "
+                   "parameters to anchor."))
+    if args.score_anchor > 0 and args.mesh:
+        raise SystemExit("--score-anchor is not plumbed through the mesh "
+                         "path yet; drop --mesh or --score-anchor")
+
     step_fn = jax.jit(functools.partial(
         e2e_step, coord_apply=coord_apply, score_apply=score_apply,
-        cam=cam, cfg=cfg, softam=args.softam, refine_mode=refine_mode))
+        cam=cam, cfg=cfg, softam=args.softam, refine_mode=refine_mode,
+        score_anchor=anchor))
 
     tag = "softam" if args.softam else "e2e"
     log = TrainingLog(f"{args.out}/ransac_training_loss_{tag}.txt")
@@ -167,19 +188,26 @@ def main(argv=None, softam: bool = False):
                                                            None))
                       if not args.data else source)
 
+        # params enter as ARGUMENTS (not closure constants) so the jit
+        # compiles once for the whole run — a fresh closure per
+        # validation would recompile the full pipeline every time (and
+        # inline the params into the HLO, CLAUDE.md broken-pipe note)
+        @jax.jit
+        def _val_run(coord_params, score_params, key, image):
+            return process_frame(
+                key, image,
+                coord_fn=lambda img, pix: coord_apply(coord_params, img,
+                                                      pix),
+                score_fn=lambda dm: score_apply(score_params, dm),
+                cam=cam, cfg=cfg)
+
         def validate(state):
-            from dsac_tpu.geometry import pose_errors
             correct, exp_losses = [], []
-            run = jax.jit(functools.partial(
-                process_frame,
-                coord_fn=lambda img, pix: coord_apply(state.coord_params,
-                                                      img, pix),
-                score_fn=lambda dm: score_apply(state.score_params, dm),
-                cam=cam, cfg=cfg))
             for i in range(args.validate_frames):
                 f = val_source.get(i)
-                res = run(jax.random.PRNGKey(7000 + i),
-                          image=jnp.asarray(f.rgb))
+                res = _val_run(state.coord_params, state.score_params,
+                               jax.random.PRNGKey(7000 + i),
+                               jnp.asarray(f.rgb))
                 ev = evaluate_frame(res, f.pose)
                 correct.append(bool(ev.correct))
                 exp_losses.append(float(ev.expected_loss))
@@ -287,7 +315,7 @@ def main(argv=None, softam: bool = False):
         many_fn = jax.jit(functools.partial(
             e2e_step_many, coord_apply=coord_apply,
             score_apply=score_apply, cam=cam, cfg=cfg, softam=args.softam,
-            refine_mode=refine_mode))
+            refine_mode=refine_mode, score_anchor=anchor))
         rnd = start_round
         while rnd < args.training_rounds:
             k = min(spc, args.training_rounds - rnd)
@@ -301,11 +329,13 @@ def main(argv=None, softam: bool = False):
             exp = np.asarray(aux["expected_loss"])
             ent = np.asarray(aux["entropy"])
             val = np.asarray(aux["valid_hyps"])
+            anc = np.asarray(aux.get("score_anchor_l1", np.zeros(k)))
             for j in range(k):
                 log.append(rnd + j, float(losses[j]), {
                     "expected": float(exp[j]),
                     "entropy": float(ent[j]),
-                    "valid": float(val[j])})
+                    "valid": float(val[j]),
+                    **({"anchor": float(anc[j])} if anchor > 0 else {})})
             rnd += k
             print(f"round {rnd - 1}: E[loss] {float(losses[-1]):.3f} "
                   f"entropy {float(ent[-1]):.2f} valid {int(val[-1])}")

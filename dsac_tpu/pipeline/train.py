@@ -354,7 +354,8 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
                       cam: Camera, cfg: DSACConfig,
                       softam: bool = False,
                       grad_clamp: float = 0.1,
-                      refine_mode=False):
+                      refine_mode=False,
+                      score_anchor: float = 0.0):
     """The scalar objective whose jax.grad IS the reference's two-path
     backward (train_ransac.cpp:303-401).
 
@@ -362,6 +363,19 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
     score_apply(params, dmaps) -> (H,) scores.
     Returns (objective, aux) where the objective is E[loss] for DSAC or
     maxLoss(refined average) for SoftAM (cnn_softam.h:1163).
+
+    score_anchor > 0 adds a supervised anchor on the score CNN:
+    W * mean_valid |score_h - (-10 * min(maxLoss(raw hyp_h), 40))| over
+    the pool — the pretrain label convention (train_score.cpp:229,
+    labels -10*max(rotErr, tErr/10) with GT available at train time)
+    re-applied to the hypotheses the e2e round actually scored, through
+    stop_gradient(dmaps) so it reaches ONLY the score parameters.  This
+    counters the diagnosed e2e failure on decoy archetypes (BASELINE.md
+    repeat/clutter rows): the REINFORCE term alone lets the score CNN
+    drift onto decoy-consistent preferences / entropy collapse, while
+    the anchor keeps its outputs pinned to true pose quality.  The 40
+    clamp keeps wrong-mode targets (maxLoss can hit the 1e7 cap) inside
+    the label range the pretrain distribution actually covered.
     """
 
     def coord_fn(img, pix):
@@ -389,11 +403,23 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
                                      losses)
         objective = jnp.sum(res.probs * losses_pose_path)
 
+    anchor = jnp.asarray(0.0)
+    if score_anchor > 0.0 and not softam:
+        raw_losses = max_loss(res.hyps, gt_pose)  # pre-refinement poses
+        target = -10.0 * jnp.minimum(raw_losses, 40.0)
+        anchor_scores = score_fn(jax.lax.stop_gradient(res.dmaps))
+        valid = res.hyp_valid.astype(anchor_scores.dtype)
+        anchor = (jnp.sum(valid * jnp.abs(anchor_scores
+                                          - jax.lax.stop_gradient(target)))
+                  / jnp.maximum(jnp.sum(valid), 1.0))
+        objective = objective + score_anchor * anchor
+
     aux = {
         "expected_loss": jnp.sum(res.probs * jax.lax.stop_gradient(losses)),
         "entropy": res.entropy,
         "winner_loss": max_loss(res.final, gt_pose),
         "valid_hyps": jnp.sum(res.hyp_valid),
+        "score_anchor_l1": jax.lax.stop_gradient(anchor),
     }
     return objective, aux
 
@@ -401,7 +427,7 @@ def e2e_expected_loss(coord_params, score_params, key: jax.Array,
 def e2e_step(state: TrainState, key: jax.Array, image: jnp.ndarray,
              gt_pose: Pose, coord_apply: Callable, score_apply: Callable,
              cam: Camera, cfg: DSACConfig, softam: bool = False,
-             refine_mode=False):
+             refine_mode=False, score_anchor: float = 0.0):
     """One joint SGD update of both networks (one frame per round, like
     train_ransac.cpp:241).  refine_mode="implicit" uses the fused-forward
     implicit-gradient refinement (fast-training mode, TPU only)."""
@@ -412,7 +438,7 @@ def e2e_step(state: TrainState, key: jax.Array, image: jnp.ndarray,
     (loss, aux), (g_coord, g_score) = grad_fn(
         state.coord_params, state.score_params, key, image, gt_pose,
         coord_apply, score_apply, cam, cfg, softam,
-        refine_mode=refine_mode)
+        refine_mode=refine_mode, score_anchor=score_anchor)
 
     cu, c_state = c_opt.update(g_coord, state.coord_opt, state.coord_params)
     su, s_state = s_opt.update(g_score, state.score_opt, state.score_params)
@@ -437,7 +463,7 @@ def e2e_step_many(state: TrainState, keys: jax.Array,
                   gt_R: jnp.ndarray, gt_t: jnp.ndarray,
                   coord_apply: Callable, score_apply: Callable,
                   cam: Camera, cfg: DSACConfig, softam: bool = False,
-                  refine_mode=False):
+                  refine_mode=False, score_anchor: float = 0.0):
     """K end-to-end rounds fused into ONE device dispatch via lax.scan.
 
     The reference trains 5000 rounds x 1 frame (train_ransac.cpp:50,
@@ -454,7 +480,8 @@ def e2e_step_many(state: TrainState, keys: jax.Array,
         k, i = xs
         st, loss, aux = e2e_step(
             carry, k, images[i], Pose(gt_R[i], gt_t[i]), coord_apply,
-            score_apply, cam, cfg, softam, refine_mode=refine_mode)
+            score_apply, cam, cfg, softam, refine_mode=refine_mode,
+            score_anchor=score_anchor)
         return st, (loss, aux)
 
     state, (losses, auxes) = jax.lax.scan(body, state, (keys, frame_idx))

@@ -1,0 +1,97 @@
+#!/bin/bash
+# Round-5 TPU campaign with the r4 hang watchdog (axon tunnel hangs a
+# step ~1-2x per 2h; every stage resumes from its orbax snapshot, so
+# recovery = kill the exact process group, relaunch).
+#
+# Stages (VERDICT r4 #2 and #3):
+#   A. repeat archetype, tempered soft-head e2e (--score-temp 10: probed
+#      training-softmax entropy 2.75 bits vs the collapsed 0.002 of the
+#      untempered negative result) + a temp-40 twin (entropy 5.5) for a
+#      temperature-response curve.
+#   B. clutter archetype, score-CNN e2e with the supervised anchor
+#      (--score-anchor): L1 to the pretrain labels on each round's own
+#      pool, countering decoy-label drift. W=4 and W=20 twins.
+#   C. benches: stamped latency evidence, kernel check, final headline.
+cd /root/repo
+LOG=runs/logs
+mkdir -p $LOG
+
+watchdog_run() {  # $1 = name, rest = command
+  local name=$1; shift
+  local log=$LOG/${name}_orch.log
+  local rc attempt
+  for attempt in 1 2 3 4; do
+    echo "[orch] $(date +%H:%M) $name attempt $attempt"
+    setsid "$@" >> "$log" 2>&1 &
+    local pid=$!
+    while kill -0 $pid 2>/dev/null; do
+      sleep 120
+      if [ $(( $(date +%s) - $(stat -c %Y "$log") )) -gt 1500 ]; then
+        echo "[orch] $(date +%H:%M) $name HANG (log stale >25min); killing group $pid"
+        kill -- -$pid 2>/dev/null; sleep 5; kill -9 -- -$pid 2>/dev/null
+      fi
+    done
+    wait $pid; rc=$?
+    echo "[orch] $(date +%H:%M) $name attempt $attempt rc=$rc"
+    [ $rc -eq 0 ] && return 0
+    sleep 10
+  done
+  echo "[orch] $name FAILED after 4 attempts"
+  return 1
+}
+
+seed_init() {  # $1 = src run dir, $2 = dst run dir, $3... = ckpt names
+  local src=$1 dst=$2; shift 2
+  mkdir -p "$dst"
+  for n in "$@"; do
+    [ -e "$dst/$n" ] || cp -r "$src/$n" "$dst/$n"
+  done
+}
+
+EVAL="python -m dsac_tpu.cli.test_ransac --synthetic 24 --seed 99 --fused-refine -rdraw 0"
+
+# ---- stage A: repeat, tempered soft head --------------------------------
+seed_init runs/synth_repeat runs/synth_repeat_soft_t10 obj_model_init
+watchdog_run repeat_t10 env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene repeat --training-rounds 5000 \
+    --steps-per-call 100 --refine-mode implicit --score-head soft \
+    --score-temp 10 --validate-every 1000 --out runs/synth_repeat_soft_t10
+watchdog_run repeat_t10_eval env timeout 1500 $EVAL --scene repeat \
+    --model endtoend --fused-scoring --out runs/synth_repeat_soft_t10
+watchdog_run repeat_init_fs env timeout 1500 $EVAL --scene repeat \
+    --model init --fused-scoring --out runs/synth_repeat
+echo "[orch] stage A (t10) done $(date +%H:%M)"
+
+# ---- stage B: clutter, anchored score CNN -------------------------------
+seed_init runs/synth_clutter runs/synth_clutter_anchor4 obj_model_init score_model_init
+watchdog_run clutter_a4 env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene clutter --training-rounds 5000 \
+    --steps-per-call 100 --refine-mode implicit --score-anchor 4 \
+    --validate-every 1000 --out runs/synth_clutter_anchor4
+watchdog_run clutter_a4_eval env timeout 1500 $EVAL --scene clutter \
+    --model endtoend --out runs/synth_clutter_anchor4
+echo "[orch] stage B (W=4) done $(date +%H:%M)"
+
+# ---- stage A2/B2: response-curve twins ----------------------------------
+seed_init runs/synth_repeat runs/synth_repeat_soft_t40 obj_model_init
+watchdog_run repeat_t40 env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene repeat --training-rounds 5000 \
+    --steps-per-call 100 --refine-mode implicit --score-head soft \
+    --score-temp 40 --validate-every 1000 --out runs/synth_repeat_soft_t40
+watchdog_run repeat_t40_eval env timeout 1500 $EVAL --scene repeat \
+    --model endtoend --fused-scoring --out runs/synth_repeat_soft_t40
+
+seed_init runs/synth_clutter runs/synth_clutter_anchor20 obj_model_init score_model_init
+watchdog_run clutter_a20 env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene clutter --training-rounds 5000 \
+    --steps-per-call 100 --refine-mode implicit --score-anchor 20 \
+    --validate-every 1000 --out runs/synth_clutter_anchor20
+watchdog_run clutter_a20_eval env timeout 1500 $EVAL --scene clutter \
+    --model endtoend --out runs/synth_clutter_anchor20
+echo "[orch] stage A2/B2 done $(date +%H:%M)"
+
+# ---- stage C: benches ----------------------------------------------------
+watchdog_run bench_latency env timeout 1200 python bench.py --latency
+watchdog_run kernel_check env timeout 900 python scripts/tpu_kernel_check.py
+watchdog_run bench_final env timeout 900 python bench.py --medians
+echo "[orch] campaign complete at $(date)"

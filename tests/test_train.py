@@ -185,6 +185,31 @@ class TestE2E:
         assert any(np.any(np.abs(np.array(m)) > 0) for m in mom
                    if hasattr(m, "shape"))
 
+    def test_score_anchor_targets_score_params_only(self):
+        # --score-anchor semantics: the supervised anchor term must (a)
+        # add a positive L1 to the objective, (b) change the SCORE-param
+        # gradient (that is its whole job), and (c) leave the coord-param
+        # gradient bit-identical (it reaches scores only through
+        # stop_gradient(dmaps) — pipeline/train.py:e2e_expected_loss)
+        (pose, rgb, coord_apply, score_apply, cp, sp, cfg) = self._setup()
+        key = jax.random.PRNGKey(5)
+        vg = jax.value_and_grad(e2e_expected_loss, argnums=(0, 1),
+                                has_aux=True)
+        (obj0, aux0), (gc0, gs0) = vg(cp, sp, key, rgb, pose, coord_apply,
+                                      score_apply, CAM, cfg)
+        w = 0.25
+        (obj1, aux1), (gc1, gs1) = vg(cp, sp, key, rgb, pose, coord_apply,
+                                      score_apply, CAM, cfg,
+                                      score_anchor=w)
+        anchor = float(aux1["score_anchor_l1"])
+        assert anchor > 0.0
+        assert float(aux0["score_anchor_l1"]) == 0.0
+        np.testing.assert_allclose(float(obj1), float(obj0) + w * anchor,
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.array(gc0["bias"]),
+                                      np.array(gc1["bias"]))
+        assert float(gs0["gain"]) != float(gs1["gain"])
+
     def test_softam_objective(self):
         (pose, rgb, coord_apply, score_apply, cp, sp, cfg) = self._setup()
         (obj, aux), gc = jax.value_and_grad(
