@@ -342,6 +342,8 @@ def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
     coord_params, coord_src = None, "random"
     names = ([omodel] if omodel
              else [obj_e2e, ckpt.OBJ_INIT] if args.model == "endtoend"
+             else [obj_e2e + "_best", obj_e2e, ckpt.OBJ_INIT]
+             if args.model == "best"
              else [ckpt.OBJ_INIT] if args.model == "init" else [])
     for name in names:
         try:
@@ -364,10 +366,24 @@ def load_eval_params(args, cfg: DSACConfig, coord_net, score_net, sample,
     score_params, use_score_net = None, args.model != "none" or bool(smodel)
     if use_score_net:
         try:
-            score_params = _restore_named(
-                args.out,
-                smodel or (score_e2e if args.model == "endtoend"
-                           else ckpt.SCORE_INIT), score_init)
+            if smodel:
+                score_names = [smodel]
+            elif args.model == "endtoend":
+                score_names = [score_e2e]
+            elif args.model == "best":
+                score_names = [score_e2e + "_best", score_e2e,
+                               ckpt.SCORE_INIT]
+            else:
+                score_names = [ckpt.SCORE_INIT]
+            score_params = None
+            for sn in score_names:
+                try:
+                    score_params = _restore_named(args.out, sn, score_init)
+                    break
+                except Exception:
+                    continue
+            if score_params is None:
+                raise FileNotFoundError(score_names)
         except Exception:
             if smodel:
                 raise SystemExit(f"-smodel {smodel!r} could not be loaded "

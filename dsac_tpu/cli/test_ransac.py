@@ -25,9 +25,12 @@ from dsac_tpu.cli import common
 def main(argv=None, softam: bool = False):
     p = common.make_parser(__doc__)
     p.add_argument("--softam", action="store_true", default=softam)
-    p.add_argument("--model", choices=["endtoend", "init", "none"],
+    p.add_argument("--model", choices=["endtoend", "best", "init", "none"],
                    default="endtoend",
-                   help="which snapshots to evaluate; 'none' runs the "
+                   help="which snapshots to evaluate; 'best' prefers the "
+                        "validation-selected *_best snapshots that "
+                        "train_ransac --validate-every writes (falls "
+                        "back to endtoend, then init); 'none' runs the "
                         "soft-inlier scoring head with an untrained or "
                         "init coordinate net")
     p.add_argument("--fused-refine", action="store_true",

@@ -215,6 +215,13 @@ def main(argv=None, softam: bool = False):
 
         val_fn = validate
 
+    # validation-based model selection: e2e on the hard archetypes often
+    # improves for a few hundred rounds and then degrades (BASELINE.md
+    # repeat rows — valid-pool collapse); the *_best snapshots keep the
+    # peak-validation model so `test_ransac --model best` serves it.
+    # The reference has no equivalent (it saves blindly every 1000).
+    best = {"acc": -1.0, "exp": float("inf")}
+
     def maybe_validate_snapshot(rnd, state, block: int = 1):
         # `block` = rounds consumed since the last call (steps-per-call /
         # mesh data-parallel paths advance several rounds at once);
@@ -226,6 +233,20 @@ def main(argv=None, softam: bool = False):
             val_log.append(rnd, exp, {"accuracy": acc})
             print(blue(f"validation @ round {rnd}: accuracy "
                        f"{acc * 100:.1f}%, E[loss] {exp:.2f}"))
+            if (acc, -exp) > (best["acc"], -best["exp"]):
+                best.update(acc=acc, exp=exp)
+                ckpt.save(args.out, obj_name + "_best",
+                          {"params": state.coord_params,
+                           "opt_state": state.coord_opt,
+                           "step": int(state.step)}, step=rnd + 1, keep=1)
+                if args.score_head != "soft":
+                    ckpt.save(args.out, score_name + "_best",
+                              {"params": state.score_params,
+                               "opt_state": state.score_opt,
+                               "step": int(state.step)}, step=rnd + 1,
+                              keep=1)
+                print(blue(f"  new best validation model saved "
+                           f"({obj_name}_best @ round {rnd})"))
         if crossed(args.snapshot_every) \
                 or rnd >= args.training_rounds - 1:
             ckpt.save(args.out, obj_name,

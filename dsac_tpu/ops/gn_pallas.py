@@ -15,8 +15,11 @@ i.e. the complete IRLS statistics [28 floats per hypothesis], reducing
 HBM traffic from ~500 MB to ~kilobytes per pass.  The 6x6 solve + pose
 update stay in jnp (they are tiny); see refine_pose_fused.
 
-Used on the serve/eval path; training uses the autodiff-able jnp
-implementation (a custom VJP for this kernel is future work).
+Used on the serve/eval path.  Training gradients: the coordinate path
+uses the implicit-function step (geometry/gn.py:implicit_refine_step);
+the init-pose path uses make_init_sensitivity_refiner below — a custom
+VJP whose backward is the reference's central-difference dRefineHyp
+batched into one extra kernel launch.
 """
 
 from __future__ import annotations
@@ -440,3 +443,95 @@ def refine_pose_fused(poses: Pose, coords: jnp.ndarray, pix: jnp.ndarray,
 
     out = out[:H]
     return Pose(out[:, :9].reshape(H, 3, 3), out[:, 9:12]), out[:, 12]
+
+
+# ---------------------------------------------------------------------------
+# Init-pose gradient for the fused refiner: the reference's dRefineHyp
+# (cnn_softam.h:738-836) is a 6x6 central-difference Jacobian of the
+# truncated refinement w.r.t. its initial pose (eps = 0.001 rad / 1 mm).
+# Here the same Jacobian-transpose product is the custom VJP of the fused
+# kernel: all 12 probe refinements of every hypothesis run as ONE extra
+# Pallas launch (a (12H)-lane pool), replacing the jnp unrolled refine
+# that the softam inject_init path used to differentiate through.
+# ---------------------------------------------------------------------------
+
+_E_SKEW = jnp.asarray(
+    [[[0.0, 0, 0], [0, 0, -1], [0, 1, 0]],
+     [[0.0, 0, 1], [0, 0, 0], [-1, 0, 0]],
+     [[0.0, -1, 0], [1, 0, 0], [0, 0, 0]]], jnp.float32)  # hat(e_i)
+
+
+def make_init_sensitivity_refiner(cam: Camera, steps: int,
+                                  threshold: float, beta: float,
+                                  min_inliers: float, damping: float,
+                                  max_error: float,
+                                  interpret: bool = False,
+                                  eps_rot: float = 1e-3,
+                                  eps_t: float = 1.0):
+    """refine(R (B,3,3), t (B,3), coords, pix) -> (R*, t*) with an FD
+    init-pose VJP.
+
+    Forward = refine_pose_fused at the given truncated step count.
+    Backward = J_init^T g, J_init estimated by central differences over
+    the 6 tangent dims (R_in = exp(+-eps_rot e_i) R, t_in = t +- eps_t
+    e_i) — the truncated-iteration init sensitivity the reference's
+    dRefineHyp measures (an implicit-function gradient would be exactly
+    zero at a converged fixed point and kill softam's score path).
+    coords/pix are runtime ARGUMENTS (they are traced values in the
+    pipeline — closing over them leaks tracers out of custom_vjp) and
+    receive ZERO cotangents: the coordinate path is the implicit-
+    function step's job (make_refiners), adding it here would double-
+    count.
+    """
+    kw = dict(steps=steps, threshold=threshold, beta=beta,
+              min_inliers=min_inliers, damping=damping,
+              max_error=max_error, interpret=interpret)
+    eps = jnp.asarray([eps_rot] * 3 + [eps_t] * 3, jnp.float32)
+
+    @jax.custom_vjp
+    def refine(R, t, coords, pix):
+        out, _n = refine_pose_fused(Pose(R, t), coords, pix, cam, **kw)
+        return out.R, out.t
+
+    def fwd(R, t, coords, pix):
+        return refine(R, t, coords, pix), (R, t, coords, pix)
+
+    def bwd(res, g):
+        R, t, coords, pix = res
+        gR, gt = g
+        B = R.shape[0]
+        # probe pool: (6 dims x {+,-} x B) perturbed init poses
+        axes = jnp.eye(3, dtype=jnp.float32)
+        dR = so3_exp(eps_rot * axes)  # (3, 3, 3): exp(+eps hat(e_i))
+        dRm = so3_exp(-eps_rot * axes)
+        Rp = jnp.concatenate([
+            jnp.einsum("iab,nbc->inac", dR, R).reshape(3 * B, 3, 3),
+            jnp.broadcast_to(R, (3, B, 3, 3)).reshape(3 * B, 3, 3),
+            jnp.einsum("iab,nbc->inac", dRm, R).reshape(3 * B, 3, 3),
+            jnp.broadcast_to(R, (3, B, 3, 3)).reshape(3 * B, 3, 3),
+        ])  # (12B, 3, 3)
+        t_off = eps_t * jnp.eye(3, dtype=t.dtype)
+        tp = jnp.concatenate([
+            jnp.broadcast_to(t, (3, B, 3)).reshape(3 * B, 3),
+            (t[None] + t_off[:, None]).reshape(3 * B, 3),
+            jnp.broadcast_to(t, (3, B, 3)).reshape(3 * B, 3),
+            (t[None] - t_off[:, None]).reshape(3 * B, 3),
+        ])  # (12B, 3)
+        out, _n = refine_pose_fused(Pose(Rp, tp), coords, pix, cam, **kw)
+        oR = out.R.reshape(2, 6, B, 3, 3)  # [{+,-}, dim, B, ...]
+        ot = out.t.reshape(2, 6, B, 3)
+        JR = (oR[0] - oR[1]) / (2.0 * eps.reshape(6, 1, 1, 1))  # (6,B,3,3)
+        Jt = (ot[0] - ot[1]) / (2.0 * eps.reshape(6, 1, 1))  # (6, B, 3)
+        # v_i = <g, d(out)/d(tangent_i)>  -> gradient in (omega, dt)
+        v = (jnp.einsum("ibjk,bjk->bi", JR, gR)
+             + jnp.einsum("ibj,bj->bi", Jt, gt))  # (B, 6)
+        # pull the rotation tangent back to an R-matrix cotangent:
+        # omega_i = 0.5 tr(hat(e_i)^T dR0 R0^T)  =>
+        # gR0 = 0.5 sum_i v_i hat(e_i) R0   (verified: chains to identity
+        # through so3_exp/pose_from_vec6 upstream)
+        gR0 = 0.5 * jnp.einsum("bi,ijk,bkl->bjl", v[:, :3], _E_SKEW, R)
+        gt0 = v[:, 3:]
+        return gR0, gt0, jnp.zeros_like(coords), jnp.zeros_like(pix)
+
+    refine.defvjp(fwd, bwd)
+    return refine

@@ -137,14 +137,16 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
                           ablation mode (core/cnn.h:1186-1204).
 
     inject_init (implicit modes only) adds the INITIAL pose's truncated-
-    iteration sensitivity — d(refined)/d(init) of the jnp IRLS unroll
-    with the coordinates frozen — as a zero-valued straight-through term
-    on top of the implicit-function coordinate gradient.  SoftAM needs
-    this: its score-CNN gradient flows ONLY through the averaged initial
-    pose (cnn_softam.h:738-923's dRefineHyp), and the exact implicit
+    iteration sensitivity — d(refined)/d(init) with the coordinates
+    frozen — as a zero-valued straight-through term on top of the
+    implicit-function coordinate gradient.  SoftAM needs this: its
+    score-CNN gradient flows ONLY through the averaged initial pose
+    (cnn_softam.h:738-923's dRefineHyp), and the exact implicit
     derivative w.r.t. the init is zero (a converged fixed point forgets
-    its initialisation).  Costs one extra differentiated refine of the
-    (single) input pose.
+    its initialisation).  On "implicit" the sensitivity is the fused
+    kernel's FD custom VJP (one extra Pallas launch,
+    ops/gn_pallas.py:make_init_sensitivity_refiner); on "implicit_jnp"
+    it is autodiff through the truncated jnp unroll (CPU twin).
     """
     from dsac_tpu.geometry.gn import implicit_refine_step, refine_pose_hard
 
@@ -172,10 +174,10 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
             max_error=p.max_reprojection_error,
             interpret=jax.default_backend() != "tpu")
 
-    def implicit_batch(pool, fixed_point_fn):
+    def implicit_batch(pool, fixed_point_fn, fd_init: bool = False):
         # Sever every gradient path INTO the fixed-point solver (the
-        # Pallas kernel has no JVP/VJP; the jnp twin would waste
-        # compute): gradients flow ONLY through the single GN step
+        # Pallas kernel has no JVP/VJP on its own; the jnp twin would
+        # waste compute): gradients flow ONLY through the single GN step
         # below.  stop_gradient must wrap the solver's INPUTS — a
         # stop on the outputs alone would still trace the kernel's
         # (nonexistent) JVP rule under jax.grad.
@@ -187,13 +189,31 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
             threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
             damping=p.gn_damping, max_error=p.max_reprojection_error)
         if inject_init:
-            # init-pose path (dRefineHyp): differentiate the jnp unroll
-            # from `pool` with coords frozen; the term's VALUE is zero so
-            # the forward stays the fused fixed point
-            short, _ = jnp_refine(pool, jax.lax.stop_gradient(coords))
+            # init-pose path (dRefineHyp): a truncated-iteration
+            # sensitivity term whose VALUE is zero (the forward stays
+            # the fixed point) but whose gradient carries d(refined)/
+            # d(init) with coords frozen
+            if fd_init:
+                # kernel-speed variant: custom-VJP fused refiner whose
+                # backward is the reference's central-difference 6x6
+                # dRefineHyp (cnn_softam.h:738-836) — all 12 probes one
+                # extra Pallas launch (ops/gn_pallas.py)
+                from dsac_tpu.ops.gn_pallas import \
+                    make_init_sensitivity_refiner
+                fd = make_init_sensitivity_refiner(
+                    cam, steps=total_steps,
+                    threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+                    min_inliers=p.min_inliers, damping=p.gn_damping,
+                    max_error=p.max_reprojection_error,
+                    interpret=jax.default_backend() != "tpu")
+                sR, st_ = fd(pool.R, pool.t, coords, pixf)
+            else:
+                # jnp twin: autodiff through the truncated unroll
+                short, _ = jnp_refine(pool, jax.lax.stop_gradient(coords))
+                sR, st_ = short.R, short.t
             stepped = Pose(
-                stepped.R + short.R - jax.lax.stop_gradient(short.R),
-                stepped.t + short.t - jax.lax.stop_gradient(short.t))
+                stepped.R + sR - jax.lax.stop_gradient(sR),
+                stepped.t + st_ - jax.lax.stop_gradient(st_))
         # dead hypotheses (aborted refinement) keep the frozen pose and
         # a zero pose-path gradient, like the reference's NaN/inlier
         # aborts zeroing dRefine (core/cnn.h:1203, :1214)
@@ -215,7 +235,8 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
     elif mode == "hard":
         refine_batch = jax.vmap(hard_refine)
     elif mode == "implicit":
-        refine_batch = lambda pool: implicit_batch(pool, fused_refine_fp)
+        refine_batch = lambda pool: implicit_batch(pool, fused_refine_fp,
+                                                   fd_init=True)
     elif mode == "implicit_jnp":
         refine_batch = lambda pool: implicit_batch(pool, jnp_refine)
     elif mode in (False, "unroll"):

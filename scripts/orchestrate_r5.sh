@@ -55,7 +55,7 @@ seed_init runs/synth_repeat runs/synth_repeat_soft_t10 obj_model_init
 watchdog_run repeat_t10 env python -m dsac_tpu.cli.train_ransac \
     --synthetic 512 --seed 3 --scene repeat --training-rounds 5000 \
     --steps-per-call 100 --refine-mode implicit --score-head soft \
-    --score-temp 10 --validate-every 1000 --out runs/synth_repeat_soft_t10
+    --score-temp 10 --validate-every 250  --out runs/synth_repeat_soft_t10
 watchdog_run repeat_t10_eval env timeout 1500 $EVAL --scene repeat \
     --model endtoend --fused-scoring --out runs/synth_repeat_soft_t10
 watchdog_run repeat_init_fs env timeout 1500 $EVAL --scene repeat \
@@ -67,7 +67,7 @@ seed_init runs/synth_clutter runs/synth_clutter_anchor4 obj_model_init score_mod
 watchdog_run clutter_a4 env python -m dsac_tpu.cli.train_ransac \
     --synthetic 512 --seed 3 --scene clutter --training-rounds 5000 \
     --steps-per-call 100 --refine-mode implicit --score-anchor 4 \
-    --validate-every 1000 --out runs/synth_clutter_anchor4
+    --validate-every 250  --out runs/synth_clutter_anchor4
 watchdog_run clutter_a4_eval env timeout 1500 $EVAL --scene clutter \
     --model endtoend --out runs/synth_clutter_anchor4
 echo "[orch] stage B (W=4) done $(date +%H:%M)"
@@ -77,7 +77,7 @@ seed_init runs/synth_repeat runs/synth_repeat_soft_t40 obj_model_init
 watchdog_run repeat_t40 env python -m dsac_tpu.cli.train_ransac \
     --synthetic 512 --seed 3 --scene repeat --training-rounds 5000 \
     --steps-per-call 100 --refine-mode implicit --score-head soft \
-    --score-temp 40 --validate-every 1000 --out runs/synth_repeat_soft_t40
+    --score-temp 40 --validate-every 250  --out runs/synth_repeat_soft_t40
 watchdog_run repeat_t40_eval env timeout 1500 $EVAL --scene repeat \
     --model endtoend --fused-scoring --out runs/synth_repeat_soft_t40
 
@@ -85,7 +85,7 @@ seed_init runs/synth_clutter runs/synth_clutter_anchor20 obj_model_init score_mo
 watchdog_run clutter_a20 env python -m dsac_tpu.cli.train_ransac \
     --synthetic 512 --seed 3 --scene clutter --training-rounds 5000 \
     --steps-per-call 100 --refine-mode implicit --score-anchor 20 \
-    --validate-every 1000 --out runs/synth_clutter_anchor20
+    --validate-every 250  --out runs/synth_clutter_anchor20
 watchdog_run clutter_a20_eval env timeout 1500 $EVAL --scene clutter \
     --model endtoend --out runs/synth_clutter_anchor20
 echo "[orch] stage A2/B2 done $(date +%H:%M)"
@@ -95,3 +95,20 @@ watchdog_run bench_latency env timeout 1200 python bench.py --latency
 watchdog_run kernel_check env timeout 900 python scripts/tpu_kernel_check.py
 watchdog_run bench_final env timeout 900 python bench.py --medians
 echo "[orch] campaign complete at $(date)"
+
+# ---- appended: validation-selected (best-checkpoint) recovery stages ----
+# t10 training improved for ~600 rounds then degraded (valid-pool
+# collapse); rerun with fine validation cadence + eval the *_best model.
+seed_init runs/synth_repeat runs/synth_repeat_soft_t10b obj_model_init
+watchdog_run repeat_t10b env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene repeat --training-rounds 2000 \
+    --steps-per-call 100 --refine-mode implicit --score-head soft \
+    --score-temp 10 --validate-every 200 --validate-frames 12 \
+    --out runs/synth_repeat_soft_t10b
+watchdog_run repeat_t10b_eval env timeout 1500 $EVAL --scene repeat \
+    --model best --fused-scoring --out runs/synth_repeat_soft_t10b
+watchdog_run clutter_a4_best_eval env timeout 1500 $EVAL --scene clutter \
+    --model best --out runs/synth_clutter_anchor4
+watchdog_run clutter_a20_best_eval env timeout 1500 $EVAL --scene clutter \
+    --model best --out runs/synth_clutter_anchor20
+echo "[orch] appended best-model stages complete at $(date)"

@@ -85,6 +85,81 @@ class TestImplicitGeometryGrad:
         assert 0.7 < ratio < 1.4, f"gradient magnitude ratio {ratio}"
 
 
+class TestFDInitSensitivity:
+    def test_fd_init_vjp_matches_unrolled_autodiff(self, rng):
+        """The fused kernel's init-pose custom VJP (the reference's FD
+        dRefineHyp, one batched Pallas launch) must agree with autodiff
+        through the truncated jnp unroll — the gradient softam's
+        inject_init path used to compute the slow way.  Compared at the
+        tangent (vec6) level, which is what pose_from_vec6 feeds it."""
+        from dsac_tpu.geometry.pose import compose
+        from dsac_tpu.ops.gn_pallas import make_init_sensitivity_refiner
+
+        cam, gt, coords, pix = _scene(rng, n=256)
+        # FAR init + few steps: refinement does NOT converge, so the
+        # truncated init sensitivity is genuinely non-zero (the regime
+        # softam's averaged pose lives in — a near-converged fixed point
+        # would make both gradients ~0 and the comparison pure f32
+        # noise).  inner_iters=1 makes the jnp map identical to the
+        # kernel's one-solve-per-reweight iteration, so the two
+        # gradients estimate the SAME function.
+        dR = so3_exp(jnp.asarray(rng.normal(size=3) * 0.15, jnp.float32))
+        init = Pose(dR @ gt.R, gt.t + jnp.asarray(
+            rng.normal(size=3) * 300.0, jnp.float32))
+        w = jnp.asarray(rng.normal(size=6), jnp.float32)
+        steps = 4
+
+        def param(v6):
+            # tangent parameterisation around `init`
+            return Pose(so3_exp(v6[:3]) @ init.R, init.t + v6[3:])
+
+        def loss_unroll(v6):
+            refined, _ = refine_pose(param(v6), coords, pix, cam,
+                                     steps=steps, inner_iters=1,
+                                     remat=False)
+            return jnp.sum(w * pose_to_vec6(refined))
+
+        fd = make_init_sensitivity_refiner(
+            cam, steps=steps, threshold=10.0,
+            beta=1.0, min_inliers=50.0, damping=1e-4, max_error=100.0,
+            interpret=True)
+
+        def loss_fd(v6):
+            p = param(v6)
+            R, t = fd(p.R[None], p.t[None], coords, pix)
+            return jnp.sum(w * pose_to_vec6(Pose(R[0], t[0])))
+
+        z = jnp.zeros(6)
+        g_u = np.asarray(jax.grad(loss_unroll)(z), np.float64)
+        g_f = np.asarray(jax.grad(loss_fd)(z), np.float64)
+        assert np.all(np.isfinite(g_f))
+        # the gradient must be genuinely non-trivial in this regime
+        assert np.linalg.norm(g_u) > 1e-2, g_u
+        cos = _cosine(g_u, g_f)
+        ratio = float(np.linalg.norm(g_f)
+                      / (np.linalg.norm(g_u) + 1e-30))
+        assert cos > 0.97, f"init-gradient cosine {cos}"
+        assert 0.8 < ratio < 1.25, f"init-gradient magnitude ratio {ratio}"
+
+    def test_fd_init_value_is_fused_forward(self, rng):
+        from dsac_tpu.ops.gn_pallas import (make_init_sensitivity_refiner,
+                                            refine_pose_fused)
+
+        cam, gt, coords, pix = _scene(rng, n=256)
+        init = Pose(gt.R[None], (gt.t + 30.0)[None])
+        fd = make_init_sensitivity_refiner(
+            cam, steps=8, threshold=10.0, beta=1.0,
+            min_inliers=50.0, damping=1e-4, max_error=100.0,
+            interpret=True)
+        R, t = fd(init.R, init.t, coords, pix)
+        ref, _ = refine_pose_fused(init, coords, pix, cam, steps=8,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(ref.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                                   atol=1e-4)
+
+
 class TestImplicitPipelineGrad:
     @pytest.fixture(scope="class")
     def pipeline(self):

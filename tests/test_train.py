@@ -253,3 +253,30 @@ class TestE2E:
             cp = optax.apply_updates(cp, updates)
         l1, _ = loss_fn(cp, sp, key, rgb, pose)
         assert float(l1) < float(l0) * 0.8, (float(l0), float(l1))
+
+    def test_softam_fused_fd_init_mode(self):
+        # refine_mode="implicit": fused Pallas forward + FD init-pose
+        # custom VJP (ops/gn_pallas.py:make_init_sensitivity_refiner,
+        # interpreted here).  The score path must stay alive through the
+        # kernel's backward, and the coordinate gradient must align with
+        # the implicit_jnp twin's (same implicit-function step).
+        import functools
+        (pose, rgb, coord_apply, score_apply, cp, sp, cfg) = self._setup()
+
+        def grads(mode):
+            return jax.grad(e2e_expected_loss, argnums=(0, 1),
+                            has_aux=True)(
+                cp, sp, jax.random.PRNGKey(3), rgb, pose,
+                coord_apply, score_apply, CAM, cfg, True,
+                refine_mode=mode)
+
+        (gc_f, gs_f), _ = grads("implicit")
+        (gc_j, gs_j), _ = grads("implicit_jnp")
+        assert np.all(np.isfinite(np.array(gc_f["bias"])))
+        assert np.isfinite(float(gs_f["gain"]))
+        assert float(jnp.abs(gs_f["gain"])) > 0.0  # score path alive
+        a = np.asarray(gc_f["bias"], np.float64)
+        b = np.asarray(gc_j["bias"], np.float64)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                             + 1e-30))
+        assert cos > 0.9, (cos, a, b)
