@@ -1,6 +1,6 @@
 """Time one end-to-end DSAC training round per refine-gradient mode.
 
-Usage: python scripts/bench_e2e_step.py [unroll|implicit|implicit_jnp ...]
+Usage: python scripts/bench_e2e_step.py [--hyps H] [unroll|implicit|...]
 
 Full-scale setup (640x480, H=256, full-width DenseCoordNet + ScoreNet,
 8 refinement steps) on whatever backend JAX selects; prints wall-clock
@@ -25,7 +25,13 @@ def _fence(tree):
 
 
 def main():
-    modes = sys.argv[1:] or ["implicit", "unroll"]
+    argv = sys.argv[1:]
+    hyps = 256
+    if "--hyps" in argv:
+        i = argv.index("--hyps")
+        hyps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    modes = argv or ["implicit", "unroll"]
 
     from dsac_tpu.config import DSACConfig, PoseConfig
     from dsac_tpu.data.synthetic import SyntheticScene
@@ -35,7 +41,7 @@ def main():
 
     scene = SyntheticScene()
     cam = scene.camera
-    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=256))
+    cfg = DSACConfig(pose=PoseConfig(num_hypotheses=hyps))
 
     coord_net = DenseCoordNet()
     score_net = ScoreNet()
@@ -74,7 +80,7 @@ def main():
                                     pose)
         _fence(loss)
         dt = (time.perf_counter() - t0) / n
-        print(f"mode={mode:13s} round={dt*1e3:8.1f} ms  "
+        print(f"H={hyps} mode={mode:13s} round={dt*1e3:8.1f} ms  "
               f"(compile {compile_s:.0f} s)  E[loss]={float(loss):.3f} "
               f"grad_finite={bool(aux['grad_finite'])}")
 

@@ -112,3 +112,8 @@ watchdog_run clutter_a4_best_eval env timeout 1500 $EVAL --scene clutter \
 watchdog_run clutter_a20_best_eval env timeout 1500 $EVAL --scene clutter \
     --model best --out runs/synth_clutter_anchor20
 echo "[orch] appended best-model stages complete at $(date)"
+
+# ---- appended: H=4096 refine-all e2e-step timing (fused-VJP evidence) ----
+watchdog_run e2e_step_h4096 env timeout 2400 python scripts/bench_e2e_step.py --hyps 4096 implicit
+watchdog_run e2e_step_h256 env timeout 2400 python scripts/bench_e2e_step.py implicit unroll
+echo "[orch] appended e2e-step timing complete at $(date)"
