@@ -118,7 +118,7 @@ def associate_voxels(coords_mm: np.ndarray, weights: np.ndarray,
 
 def main(argv=None):
     p = common.make_parser(__doc__)
-    p.add_argument("--model", choices=["endtoend", "init", "none"],
+    p.add_argument("--model", choices=["endtoend", "best", "init", "none"],
                    default="endtoend")
     p.add_argument("--keyframes", type=int, default=8)
     p.add_argument("--voxel-mm", type=float, default=30.0,

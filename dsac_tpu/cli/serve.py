@@ -151,7 +151,7 @@ def _serve_mesh(args, cfg, cam, coord_net, coord_apply, coord_params,
 
 def main(argv=None):
     p = common.make_parser(__doc__)
-    p.add_argument("--model", choices=["endtoend", "init", "none"],
+    p.add_argument("--model", choices=["endtoend", "best", "init", "none"],
                    default="endtoend")
     p.add_argument("--softam", action="store_true",
                    help="serve the soft-argmax variant (softmax-weighted "
