@@ -37,6 +37,11 @@ from dsac_tpu.ops.select import (draw_hypothesis, shannon_entropy,
 CoordFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 ScoreFn = Callable[[jnp.ndarray], jnp.ndarray]
 
+# hypothesis-chunk size for the differentiable implicit refine step in
+# refine-all training (see make_refiners); 1024 keeps the Jacobian
+# live set ~9 G at N=1600 — fits v5e HBM with the rest of the graph
+_IMPLICIT_STEP_CHUNK = 1024
+
 
 class FrameResult(NamedTuple):
     """Everything the training/eval paths need from one frame."""
@@ -183,11 +188,31 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
         # (nonexistent) JVP rule under jax.grad.
         pool0 = jax.tree.map(jax.lax.stop_gradient, pool)
         refined, n_in = fixed_point_fn(pool0, jax.lax.stop_gradient(coords))
-        obj = jnp.broadcast_to(coords, (pool.t.shape[0], *coords.shape))
-        stepped = implicit_refine_step(
-            refined, obj, pixf, cam,
-            threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
-            damping=p.gn_damping, max_error=p.max_reprojection_error)
+
+        def one_chunk(chunk):
+            obj_c = jnp.broadcast_to(coords,
+                                     (chunk.t.shape[0], *coords.shape))
+            return implicit_refine_step(
+                chunk, obj_c, pixf, cam,
+                threshold=p.inlier_threshold_2d, beta=p.inlier_beta,
+                damping=p.gn_damping, max_error=p.max_reprojection_error)
+
+        # Very-large-H refine-all training: the differentiable GN step
+        # materialises (H, N, 2, 6)-class Jacobian tensors — at H=4096
+        # the un-chunked graph needs ~36 G of HBM (measured; v5e has
+        # 15.75 G).  lax.map over remat'ed hypothesis chunks bounds the
+        # live set to one chunk's intermediates at a scan's cost, which
+        # the fixed-point forward (the fused kernel) never pays.
+        Hn = pool.t.shape[0]
+        ch = _IMPLICIT_STEP_CHUNK
+        if Hn > ch and Hn % ch == 0:
+            rs = jax.tree.map(
+                lambda x: x.reshape(Hn // ch, ch, *x.shape[1:]), refined)
+            stepped = jax.lax.map(jax.checkpoint(one_chunk), rs)
+            stepped = jax.tree.map(
+                lambda x: x.reshape(Hn, *x.shape[2:]), stepped)
+        else:
+            stepped = one_chunk(refined)
         if inject_init:
             # init-pose path (dRefineHyp): a truncated-iteration
             # sensitivity term whose VALUE is zero (the forward stays

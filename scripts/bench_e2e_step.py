@@ -56,6 +56,23 @@ def main():
     def score_apply(params, dm):
         return score_net.apply(params, dm)
 
+    if hyps > 512:
+        # very-large-H training regime: the score CNN's conv activations
+        # at batch H (H x 40x40 x up-to-512ch) alone exceed v5e HBM
+        # (measured: 36.1 G needed at H=4096); the regime's scoring head
+        # is the parameter-free soft-inlier reduction (BASELINE config 4)
+        # for training exactly like serving
+        from dsac_tpu.ops import soft_inlier_scores
+
+        def score_apply(params, dm):
+            return soft_inlier_scores(
+                dm.reshape(dm.shape[0], -1),
+                cfg.pose.inlier_threshold_2d, cfg.pose.score_beta)
+
+        sp = {}
+        print(f"H={hyps}: soft-inlier training head (score CNN at this "
+              f"batch exceeds HBM)")
+
     state = make_e2e_state(cp, sp)
 
     for mode in modes:

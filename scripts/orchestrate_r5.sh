@@ -117,3 +117,35 @@ echo "[orch] appended best-model stages complete at $(date)"
 watchdog_run e2e_step_h4096 env timeout 2400 python scripts/bench_e2e_step.py --hyps 4096 implicit
 watchdog_run e2e_step_h256 env timeout 2400 python scripts/bench_e2e_step.py implicit unroll
 echo "[orch] appended e2e-step timing complete at $(date)"
+
+# ---- appended: clutter coord-only e2e + serve-default-head evals --------
+# Diagnosis: clutter e2e degradation is score-CNN drift (entropy
+# collapse even under the W=4/20 anchors). Coord-only training (soft
+# head) cannot touch the score CNN; eval pairs the trained coords with
+# the INIT score CNN (the parity path) and with the serve-default
+# soft-inlier head.
+seed_init runs/synth_clutter runs/synth_clutter_soft obj_model_init score_model_init
+watchdog_run clutter_soft env python -m dsac_tpu.cli.train_ransac \
+    --synthetic 512 --seed 3 --scene clutter --training-rounds 5000 \
+    --steps-per-call 100 --refine-mode implicit --score-head soft \
+    --score-temp 10 --validate-every 250 --validate-frames 12 \
+    --out runs/synth_clutter_soft
+watchdog_run clutter_soft_scnn_eval env timeout 1500 $EVAL --scene clutter \
+    --model best -smodel score_model_init --out runs/synth_clutter_soft
+watchdog_run clutter_soft_fs_eval env timeout 1500 $EVAL --scene clutter \
+    --model best --fused-scoring --out runs/synth_clutter_soft
+# serve-default (soft-inlier) evals of the existing e2e checkpoints
+watchdog_run clutter_e2e_fs_eval env timeout 1500 $EVAL --scene clutter \
+    --model endtoend --fused-scoring --out runs/synth_clutter
+watchdog_run clutter_init_fs_eval env timeout 1500 $EVAL --scene clutter \
+    --model init --fused-scoring --out runs/synth_clutter
+echo "[orch] appended clutter coord-only stages complete at $(date)"
+
+# ---- appended: repeat best-model consensus probe ------------------------
+watchdog_run repeat_t10b_selinl env timeout 1500 $EVAL --scene repeat \
+    --model best --fused-scoring --select inlier --out runs/synth_repeat_soft_t10b
+echo "[orch] repeat consensus probe complete at $(date)"
+
+# ---- appended: H=4096 e2e-step retry (chunked implicit step) ------------
+watchdog_run e2e_step_h4096b env timeout 2400 python scripts/bench_e2e_step.py --hyps 4096 implicit
+echo "[orch] h4096 retry complete at $(date)"

@@ -192,6 +192,34 @@ class TestImplicitPipelineGrad:
 
         return cfg, cam, rgb, pose, cp, sp, coord_apply, score_apply
 
+    def test_chunked_implicit_step_grads_identical(self, pipeline,
+                                                   monkeypatch):
+        """Large-H refine-all memory bounding: the lax.map-chunked
+        implicit step (make_refiners) must produce the SAME objective
+        and coord gradients as the direct step — chunking is a memory
+        layout choice, not a semantic one."""
+        from dsac_tpu.pipeline import forward as fwd_mod
+        from dsac_tpu.pipeline.train import e2e_expected_loss
+
+        cfg, cam, rgb, gt, cp, sp, coord_apply, score_apply = pipeline
+        key = jax.random.PRNGKey(13)
+
+        def grads():
+            (obj, _), g_c = jax.value_and_grad(
+                e2e_expected_loss, argnums=0, has_aux=True)(
+                    cp, sp, key, rgb, gt, coord_apply, score_apply,
+                    cam, cfg, False, refine_mode="implicit_jnp")
+            return float(obj), g_c
+
+        obj_d, g_d = grads()  # H=32 < default chunk: direct path
+        monkeypatch.setattr(fwd_mod, "_IMPLICIT_STEP_CHUNK", 8)
+        obj_c, g_c = grads()  # 4 chunks of 8
+        assert obj_c == pytest.approx(obj_d, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                        jax.tree_util.tree_leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-7)
+
     def test_e2e_objective_grad_cosine(self, pipeline):
         """Full-pipeline coord-net gradients: implicit vs unrolled.
 
