@@ -129,7 +129,7 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
                         "noisy, clutter, hard")
     p.add_argument("--out", type=str, default="./out",
                    help="output directory (checkpoints, logs)")
-    p.add_argument("--arch", choices=["dense", "dense_s2d", "patch"],
+    p.add_argument("--arch", choices=["dense", "dense_s2d", "dense_ctx", "patch"],
                    default="dense",
                    help="coordinate net: dense FCN (flagship), dense FCN "
                         "with space-to-depth stem (fastest on TPU), or "
@@ -172,6 +172,12 @@ def mesh_coord_apply(args, coord_net, coord_apply, n_hyp: int):
     """
     if args.arch == "patch":
         return coord_apply, False
+    if args.arch == "dense_ctx":
+        raise SystemExit(
+            "--mesh with --arch dense_ctx is not supported: the banded "
+            "FCN halo margin assumes the ~50 px receptive-field class; "
+            "the context stack's ~530 px RF needs a margin wider than a "
+            "shard band (drop --mesh or use --arch dense)")
     from dsac_tpu.parallel.sharded import banded_dense_coords
 
     def apply_banded(params, image, pix):
@@ -254,7 +260,8 @@ def build_models(args, cfg: DSACConfig):
             return coord_net.apply(params, patches)
     else:
         coord_net = DenseCoordNet(width=max(8, int(64 * wm)),
-                                  s2d=(args.arch == "dense_s2d"))
+                                  s2d=(args.arch == "dense_s2d"),
+                                  context=(args.arch == "dense_ctx"))
 
         def coord_apply(params, image, pix):
             cmap = coord_net.apply(params, image[None])[0]

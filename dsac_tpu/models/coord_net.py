@@ -81,6 +81,7 @@ class DenseCoordNet(nn.Module):
     dtype: Any = jnp.bfloat16
     width: int = 64
     s2d: bool = False
+    context: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +115,21 @@ class DenseCoordNet(nn.Module):
         x = nn.relu(conv(c * 4, 3, 1)(x))
         x = nn.relu(conv(c * 4, 3, 2)(x))    # /8
         x = nn.relu(conv(c * 8, 3, 1)(x))
+        if self.context:
+            # Long-range context (arch "dense_ctx"): residual dilated
+            # 3x3 stack at /8 grows the receptive field ~50 -> ~530 px
+            # full-res.  Motivation: the `repeat` archetype's texture
+            # period projects to ~105 px at working depth — a 50 px RF
+            # regresses coordinates only mod the period (held-out L1
+            # 0.34 m = the period error, BASELINE.md).  Disambiguation
+            # needs landmarks several periods away in view.  Not
+            # supported by the banded mesh FCN path (halo margin
+            # assumes the 50 px RF class).
+            for d in (2, 4, 8, 16):
+                y = nn.Conv(c * 8, (3, 3), kernel_dilation=(d, d),
+                            padding="SAME", dtype=self.dtype,
+                            precision=_PREC)(x)
+                x = x + nn.relu(y)
         x = nn.relu(conv(c * 8, 1, 1)(x))
         x = nn.relu(conv(c * 8, 1, 1)(x))
         x = nn.Conv(3, (1, 1), dtype=jnp.float32, precision=_PREC)(x)

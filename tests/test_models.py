@@ -71,6 +71,24 @@ class TestDenseCoordNet:
             any(a.shape != b.shape for a, b in
                 zip(jax.tree.leaves(p0), jax.tree.leaves(params)))
 
+    def test_context_stack_widens_receptive_field(self):
+        """dense_ctx: the dilated stack must carry information across
+        several hundred pixels (the `repeat` disambiguation requirement)
+        where the plain net's ~50 px RF cannot."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 255, (1, 240, 480, 3)), jnp.float32)
+        # perturb the input ~216 px right of the probed output position
+        x2 = x.at[0, 112:128, 276:292, :].set(0.0)
+        probe = (15, 8)  # /8 map position of full-res (124, 68)
+
+        for ctx, expect_far in [(False, False), (True, True)]:
+            net = DenseCoordNet(width=8, context=ctx)
+            params = net.init(jax.random.PRNGKey(0), x)
+            y1 = net.apply(params, x)[0, probe[0], probe[1]]
+            y2 = net.apply(params, x2)[0, probe[0], probe[1]]
+            moved = float(jnp.abs(y1 - y2).max()) > 1e-7
+            assert moved == expect_far, (ctx, float(jnp.abs(y1 - y2).max()))
+
     def test_gather_bilinear(self):
         # a linear coordinate field must be reproduced exactly by the
         # bilinear gather at any pixel
