@@ -303,6 +303,18 @@ class TestCliSmoke:
         assert rec["value"] > 0
         assert len(list((tmp_path / "poses").glob("*.pose.txt"))) == 2
 
+    def test_dense_ctx_mesh_guard(self):
+        # dense_ctx's ~530 px RF breaks the banded-FCN halo assumption;
+        # the mesh path must refuse with a clear error, not mis-shard
+        import types
+
+        import pytest as _pytest
+
+        from dsac_tpu.cli import common as c
+        with _pytest.raises(SystemExit, match="dense_ctx"):
+            c.mesh_coord_apply(types.SimpleNamespace(arch="dense_ctx"),
+                               None, None, 4)
+
     def _run_mesh(self, module, extra, tmp_path):
         """CLI run on the 8-device CPU farm (for --mesh programs)."""
         env = self._env()
