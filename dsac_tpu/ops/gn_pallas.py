@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -455,10 +456,14 @@ def refine_pose_fused(poses: Pose, coords: jnp.ndarray, pix: jnp.ndarray,
 # that the softam inject_init path used to differentiate through.
 # ---------------------------------------------------------------------------
 
-_E_SKEW = jnp.asarray(
+# hat(e_i) basis — a NUMPY constant deliberately: this module is
+# imported lazily from inside traced code (make_refiners under
+# shard_map), and a module-level jnp array created during a trace
+# becomes a leaked tracer poisoning every later use
+_E_SKEW = np.asarray(
     [[[0.0, 0, 0], [0, 0, -1], [0, 1, 0]],
      [[0.0, 0, 1], [0, 0, 0], [-1, 0, 0]],
-     [[0.0, -1, 0], [1, 0, 0], [0, 0, 0]]], jnp.float32)  # hat(e_i)
+     [[0.0, -1, 0], [1, 0, 0], [0, 0, 0]]], np.float32)
 
 
 def make_init_sensitivity_refiner(cam: Camera, steps: int,
@@ -486,7 +491,9 @@ def make_init_sensitivity_refiner(cam: Camera, steps: int,
     kw = dict(steps=steps, threshold=threshold, beta=beta,
               min_inliers=min_inliers, damping=damping,
               max_error=max_error, interpret=interpret)
-    eps = jnp.asarray([eps_rot] * 3 + [eps_t] * 3, jnp.float32)
+    # numpy, not jnp: the factory runs inside traced code (make_refiners
+    # under jit/shard_map) and the closure must not capture tracers
+    eps = np.asarray([eps_rot] * 3 + [eps_t] * 3, np.float32)
 
     @jax.custom_vjp
     def refine(R, t, coords, pix):
