@@ -305,11 +305,17 @@ def _code_changed_since(rev: str | None) -> bool:
         return True
     import subprocess
     try:
-        r = subprocess.run(
-            ["git", "-C", str(Path(__file__).parent), "diff", "--quiet",
-             rev, "HEAD", "--", "dsac_tpu", "bench.py"],
-            capture_output=True, timeout=10)
-        return r.returncode != 0
+        repo = str(Path(__file__).parent)
+        # committed changes since the stamp AND uncommitted working-tree
+        # edits both stale the evidence
+        for span in ([rev, "HEAD"], ["HEAD"]):
+            r = subprocess.run(
+                ["git", "-C", repo, "diff", "--quiet", *span, "--",
+                 "dsac_tpu", "bench.py"],
+                capture_output=True, timeout=10)
+            if r.returncode != 0:
+                return True
+        return False
     except Exception:
         return True
 

@@ -132,8 +132,11 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--arch", choices=["dense", "dense_s2d", "dense_ctx", "patch"],
                    default="dense",
                    help="coordinate net: dense FCN (flagship), dense FCN "
-                        "with space-to-depth stem (fastest on TPU), or "
-                        "reference-parity patch net")
+                        "with space-to-depth stem (fastest on TPU), "
+                        "dense FCN + dilated long-range-context stack "
+                        "(~530 px RF for period-ambiguous scenes like "
+                        "the repeat archetype; incompatible with --mesh), "
+                        "or reference-parity patch net")
     p.add_argument("--width-mult", type=float, default=1.0,
                    help="model width multiplier (tests/smoke use <1)")
     p.add_argument("--rounds", type=int, default=None,

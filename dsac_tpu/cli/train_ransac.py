@@ -166,6 +166,11 @@ def main(argv=None, softam: bool = False):
     if args.score_anchor > 0 and args.score_head != "cnn":
         print(blue("--score-anchor ignored: the soft head has no score "
                    "parameters to anchor."))
+    if args.score_anchor > 0 and args.softam:
+        raise SystemExit("--score-anchor is not implemented for the "
+                         "softam objective (e2e_expected_loss gates it "
+                         "on the DSAC path); drop --softam or "
+                         "--score-anchor")
     if args.score_anchor > 0 and args.mesh:
         raise SystemExit("--score-anchor is not plumbed through the mesh "
                          "path yet; drop --mesh or --score-anchor")
@@ -220,7 +225,17 @@ def main(argv=None, softam: bool = False):
     # repeat rows — valid-pool collapse); the *_best snapshots keep the
     # peak-validation model so `test_ransac --model best` serves it.
     # The reference has no equivalent (it saves blindly every 1000).
+    # The tracker is persisted in the RNG sidecar: the documented
+    # operating mode is watchdog-kill + orbax resume, and a reset
+    # tracker would let the first post-resume validation clobber the
+    # real *_best snapshot.
     best = {"acc": -1.0, "exp": float("inf")}
+    if rng_sidecar.exists():
+        try:
+            best.update(json.loads(rng_sidecar.read_text()).get("best",
+                                                                {}))
+        except Exception:
+            pass
 
     def maybe_validate_snapshot(rnd, state, block: int = 1):
         # `block` = rounds consumed since the last call (steps-per-call /
@@ -235,16 +250,24 @@ def main(argv=None, softam: bool = False):
                        f"{acc * 100:.1f}%, E[loss] {exp:.2f}"))
             if (acc, -exp) > (best["acc"], -best["exp"]):
                 best.update(acc=acc, exp=exp)
-                ckpt.save(args.out, obj_name + "_best",
-                          {"params": state.coord_params,
-                           "opt_state": state.coord_opt,
-                           "step": int(state.step)}, step=rnd + 1, keep=1)
+                # score first, obj last: a watchdog kill between the
+                # two saves then leaves an OLD obj_best + new
+                # score_best — --model best keys its selection on the
+                # obj snapshot, so the stale pair is the previous best
+                # rather than a never-validated mixture
                 if args.score_head != "soft":
                     ckpt.save(args.out, score_name + "_best",
                               {"params": state.score_params,
                                "opt_state": state.score_opt,
                                "step": int(state.step)}, step=rnd + 1,
                               keep=1)
+                ckpt.save(args.out, obj_name + "_best",
+                          {"params": state.coord_params,
+                           "opt_state": state.coord_opt,
+                           "step": int(state.step)}, step=rnd + 1, keep=1)
+                rng_sidecar.write_text(json.dumps(
+                    {"round": rnd + 1, "state": rng.bit_generator.state,
+                     "best": best}))
                 print(blue(f"  new best validation model saved "
                            f"({obj_name}_best @ round {rnd})"))
         if crossed(args.snapshot_every) \
@@ -259,7 +282,8 @@ def main(argv=None, softam: bool = False):
                            "opt_state": state.score_opt,
                            "step": int(state.step)}, step=rnd + 1)
             rng_sidecar.write_text(json.dumps(
-                {"round": rnd + 1, "state": rng.bit_generator.state}))
+                {"round": rnd + 1, "state": rng.bit_generator.state,
+                 "best": best}))
 
     print(blue(f"End-to-end training ({tag}) for "
                f"{args.training_rounds} rounds."))

@@ -202,15 +202,24 @@ def make_refiners(coords: jnp.ndarray, pixf: jnp.ndarray, cam: Camera,
         # the un-chunked graph needs ~36 G of HBM (measured; v5e has
         # 15.75 G).  lax.map over remat'ed hypothesis chunks bounds the
         # live set to one chunk's intermediates at a scan's cost, which
-        # the fixed-point forward (the fused kernel) never pays.
+        # the fixed-point forward (the fused kernel) never pays.  A
+        # non-multiple H runs the floor-multiple through the map and the
+        # remainder directly (never the whole pool unchunked — that
+        # would silently re-expose the OOM for H like 1536 or 5000).
         Hn = pool.t.shape[0]
         ch = _IMPLICIT_STEP_CHUNK
-        if Hn > ch and Hn % ch == 0:
+        if Hn > ch:
+            body, rem = Hn - Hn % ch, Hn % ch
             rs = jax.tree.map(
-                lambda x: x.reshape(Hn // ch, ch, *x.shape[1:]), refined)
+                lambda x: x[:body].reshape(body // ch, ch, *x.shape[1:]),
+                refined)
             stepped = jax.lax.map(jax.checkpoint(one_chunk), rs)
             stepped = jax.tree.map(
-                lambda x: x.reshape(Hn, *x.shape[2:]), stepped)
+                lambda x: x.reshape(body, *x.shape[2:]), stepped)
+            if rem:
+                tail = one_chunk(jax.tree.map(lambda x: x[body:], refined))
+                stepped = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), stepped, tail)
         else:
             stepped = one_chunk(refined)
         if inject_init:

@@ -74,16 +74,22 @@ def main():
     cp = {"bias": jnp.zeros(3)}
     sp = {"gain": jnp.asarray(1.0)}
 
+    # sync through timing.fence, not block_until_ready: reliable on CPU
+    # too, and this script is the template for the real multi-chip run
+    # where block_until_ready RETURNS EARLY on the axon backend
+    # (CLAUDE.md measurement-integrity note)
+    from dsac_tpu.utils.timing import fence
+
     def run(n_hyp_shards, reps=3):
         mesh = make_mesh(1, n_hyp_shards)
         serve = sharded_serve_step(mesh, oracle_coord_apply,
                                    soft_score_apply, cam, cfg)
         out = serve(cp, sp, keys, maps)
-        jax.block_until_ready(out)
+        fence(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = serve(cp, sp, keys, maps)
-            jax.block_until_ready(out)
+            fence(out)
         dt = (time.perf_counter() - t0) / reps
         R, t, _scores, ent, _chosen = out
         rot_e, t_e = pose_errors(Pose(R, t), gt)

@@ -16,29 +16,8 @@ cd /root/repo
 LOG=runs/logs
 mkdir -p $LOG
 
-watchdog_run() {  # $1 = name, rest = command
-  local name=$1; shift
-  local log=$LOG/${name}_orch.log
-  local rc attempt
-  for attempt in 1 2 3 4; do
-    echo "[orch] $(date +%H:%M) $name attempt $attempt"
-    setsid "$@" >> "$log" 2>&1 &
-    local pid=$!
-    while kill -0 $pid 2>/dev/null; do
-      sleep 120
-      if [ $(( $(date +%s) - $(stat -c %Y "$log") )) -gt 1500 ]; then
-        echo "[orch] $(date +%H:%M) $name HANG (log stale >25min); killing group $pid"
-        kill -- -$pid 2>/dev/null; sleep 5; kill -9 -- -$pid 2>/dev/null
-      fi
-    done
-    wait $pid; rc=$?
-    echo "[orch] $(date +%H:%M) $name attempt $attempt rc=$rc"
-    [ $rc -eq 0 ] && return 0
-    sleep 10
-  done
-  echo "[orch] $name FAILED after 4 attempts"
-  return 1
-}
+WATCHDOG_TAG=orch
+source "$(dirname "$0")/lib_watchdog.sh"
 
 seed_init() {  # $1 = src run dir, $2 = dst run dir, $3... = ckpt names
   local src=$1 dst=$2; shift 2

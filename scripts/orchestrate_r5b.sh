@@ -10,29 +10,8 @@ cd /root/repo
 LOG=runs/logs
 mkdir -p $LOG
 
-watchdog_run() {
-  local name=$1; shift
-  local log=$LOG/${name}_orch.log
-  local rc attempt
-  for attempt in 1 2 3 4; do
-    echo "[orch5b] $(date +%H:%M) $name attempt $attempt"
-    setsid "$@" >> "$log" 2>&1 &
-    local pid=$!
-    while kill -0 $pid 2>/dev/null; do
-      sleep 120
-      if [ $(( $(date +%s) - $(stat -c %Y "$log") )) -gt 1500 ]; then
-        echo "[orch5b] $(date +%H:%M) $name HANG; killing group $pid"
-        kill -- -$pid 2>/dev/null; sleep 5; kill -9 -- -$pid 2>/dev/null
-      fi
-    done
-    wait $pid; rc=$?
-    echo "[orch5b] $(date +%H:%M) $name attempt $attempt rc=$rc"
-    [ $rc -eq 0 ] && return 0
-    sleep 10
-  done
-  echo "[orch5b] $name FAILED after 4 attempts"
-  return 1
-}
+WATCHDOG_TAG=orch5b
+source "$(dirname "$0")/lib_watchdog.sh"
 
 OUT=runs/synth_repeat_ctx
 EVAL="python -m dsac_tpu.cli.test_ransac --synthetic 24 --seed 99 --arch dense_ctx --scene repeat --fused-refine -rdraw 0 --out $OUT"

@@ -1,5 +1,8 @@
 #!/bin/bash
-# Round-5b: can a wider receptive field break the repeat ambiguity?
+# Round-5c: SUPERSEDES orchestrate_r5b (same OUT dir; every stage
+# resumes from its orbax snapshot, so the 60k pretrain budget only
+# bites if r5b stopped below 60k — it did, at ~16k).
+# Question: can a wider receptive field break the repeat ambiguity?
 # The repeat archetype's texture period projects to ~105 px; the
 # flagship dense net's ~50 px RF regresses coordinates only mod the
 # period (held-out L1 0.34 m).  dense_ctx adds a residual dilated
@@ -10,29 +13,8 @@ cd /root/repo
 LOG=runs/logs
 mkdir -p $LOG
 
-watchdog_run() {
-  local name=$1; shift
-  local log=$LOG/${name}_orch.log
-  local rc attempt
-  for attempt in 1 2 3 4; do
-    echo "[orch5c] $(date +%H:%M) $name attempt $attempt"
-    setsid "$@" >> "$log" 2>&1 &
-    local pid=$!
-    while kill -0 $pid 2>/dev/null; do
-      sleep 120
-      if [ $(( $(date +%s) - $(stat -c %Y "$log") )) -gt 1500 ]; then
-        echo "[orch5c] $(date +%H:%M) $name HANG; killing group $pid"
-        kill -- -$pid 2>/dev/null; sleep 5; kill -9 -- -$pid 2>/dev/null
-      fi
-    done
-    wait $pid; rc=$?
-    echo "[orch5c] $(date +%H:%M) $name attempt $attempt rc=$rc"
-    [ $rc -eq 0 ] && return 0
-    sleep 10
-  done
-  echo "[orch5c] $name FAILED after 4 attempts"
-  return 1
-}
+WATCHDOG_TAG=orch5c
+source "$(dirname "$0")/lib_watchdog.sh"
 
 OUT=runs/synth_repeat_ctx
 EVAL="python -m dsac_tpu.cli.test_ransac --synthetic 24 --seed 99 --arch dense_ctx --scene repeat --fused-refine -rdraw 0 --out $OUT"

@@ -28,3 +28,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1305)  # the reference's RNG seed
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Full-suite runs (only — every per-module subset passes) died with a
+    native XLA:CPU crash (SIGSEGV/abort inside backend_compile_and_load)
+    at a deterministic point ~80% in: cumulative compiler/executable
+    state over ~180 jitted graphs on the 8-device farm.  Clearing
+    between modules bounds that state; modules rarely share shapes so
+    the lost cache hits are negligible.
+    """
+    yield
+    jax.clear_caches()

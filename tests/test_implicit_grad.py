@@ -212,13 +212,14 @@ class TestImplicitPipelineGrad:
             return float(obj), g_c
 
         obj_d, g_d = grads()  # H=32 < default chunk: direct path
-        monkeypatch.setattr(fwd_mod, "_IMPLICIT_STEP_CHUNK", 8)
-        obj_c, g_c = grads()  # 4 chunks of 8
-        assert obj_c == pytest.approx(obj_d, rel=1e-6)
-        for a, b in zip(jax.tree_util.tree_leaves(g_d),
-                        jax.tree_util.tree_leaves(g_c)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=1e-7)
+        for ch in (8, 7):  # exact multiple AND ragged tail (28 + 4)
+            monkeypatch.setattr(fwd_mod, "_IMPLICIT_STEP_CHUNK", ch)
+            obj_c, g_c = grads()
+            assert obj_c == pytest.approx(obj_d, rel=1e-6), ch
+            for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                            jax.tree_util.tree_leaves(g_c)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-4, atol=1e-7)
 
     def test_e2e_objective_grad_cosine(self, pipeline):
         """Full-pipeline coord-net gradients: implicit vs unrolled.
