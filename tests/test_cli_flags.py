@@ -303,6 +303,51 @@ class TestCliSmoke:
         assert rec["value"] > 0
         assert len(list((tmp_path / "poses").glob("*.pose.txt"))) == 2
 
+    def test_model_best_fallback_chain(self, tmp_path):
+        # --model best must prefer *_best, fall back to the endtoend and
+        # then init snapshots (load_eval_params); pin the chain with real
+        # tiny checkpoints
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from dsac_tpu.cli import common as c
+        from dsac_tpu.config import DSACConfig
+        from dsac_tpu.models import DenseCoordNet, ScoreNet
+        from dsac_tpu.utils import checkpoint as ckpt
+
+        cfg = DSACConfig()
+        net = DenseCoordNet(width=8)
+        snet = ScoreNet(width_mult=0.125)
+        img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        sample = types.SimpleNamespace(rgb=img[0])
+        args = types.SimpleNamespace(arch="dense", model="best",
+                                     out=str(tmp_path), width_mult=0.125)
+
+        def params_with_marker(v):
+            p = net.init(jax.random.PRNGKey(0), img)
+            return jax.tree.map(lambda x: x * 0 + v, p)
+
+        marker = lambda p: float(
+            jax.tree_util.tree_leaves(p)[0].ravel()[0])
+
+        ckpt.save(tmp_path, ckpt.OBJ_INIT, {"params": params_with_marker(1.0)})
+        coord_params, src, _, _ = c.load_eval_params(
+            args, cfg, net, snet, sample)
+        assert src == ckpt.OBJ_INIT and marker(coord_params) == 1.0
+
+        ckpt.save(tmp_path, ckpt.OBJ_E2E, {"params": params_with_marker(2.0)})
+        coord_params, src, _, _ = c.load_eval_params(
+            args, cfg, net, snet, sample)
+        assert src == ckpt.OBJ_E2E and marker(coord_params) == 2.0
+
+        ckpt.save(tmp_path, ckpt.OBJ_E2E + "_best",
+                  {"params": params_with_marker(3.0)})
+        coord_params, src, _, _ = c.load_eval_params(
+            args, cfg, net, snet, sample)
+        assert src == ckpt.OBJ_E2E + "_best" and marker(coord_params) == 3.0
+
     def test_dense_ctx_mesh_guard(self):
         # dense_ctx's ~530 px RF breaks the banded-FCN halo assumption;
         # the mesh path must refuse with a clear error, not mis-shard
