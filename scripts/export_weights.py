@@ -8,7 +8,8 @@ flagship, '_s2d' = space-to-depth stem, '_patch' = reference-parity
 patch arch, '_softam' = soft-argmax training.
 
 Usage: python scripts/export_weights.py [run_dir] [out_dir]
-           [--arch dense|dense_s2d|patch] [--softam] [--suffix SFX]
+           [--arch dense|dense_s2d|dense_ctx|patch] [--softam]
+           [--model endtoend|best] [--coord-only] [--suffix SFX]
 """
 
 import argparse
@@ -23,9 +24,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir", nargs="?", default="runs/synth_gen_fast")
     ap.add_argument("out_dir", nargs="?", default="artifacts")
-    ap.add_argument("--arch", choices=["dense", "dense_s2d", "patch"],
-                    default="dense")
+    ap.add_argument("--arch", choices=["dense", "dense_s2d", "dense_ctx",
+                                       "patch"], default="dense")
     ap.add_argument("--softam", action="store_true")
+    ap.add_argument("--model", choices=["endtoend", "best"],
+                    default="endtoend",
+                    help="'best' exports the validation-selected *_best "
+                         "snapshots (train_ransac --validate-every)")
+    ap.add_argument("--coord-only", action="store_true",
+                    help="no score-CNN snapshot to export (soft-head "
+                         "training runs)")
     ap.add_argument("--suffix", default=None,
                     help="artifact name suffix (default: derived from "
                          "--arch/--softam)")
@@ -46,7 +54,8 @@ def main():
         cp = coord_net.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 42, 42, 3)))
     else:
-        coord_net = DenseCoordNet(s2d=(args.arch == "dense_s2d"))
+        coord_net = DenseCoordNet(s2d=(args.arch == "dense_s2d"),
+                                  context=(args.arch == "dense_ctx"))
         cp = coord_net.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 480, 640, 3)))
     score_net = ScoreNet()
@@ -54,11 +63,14 @@ def main():
 
     obj = ckpt.OBJ_SOFTAM if args.softam else ckpt.OBJ_E2E
     score = ckpt.SCORE_SOFTAM if args.softam else ckpt.SCORE_E2E
+    if args.model == "best":
+        obj, score = obj + "_best", score + "_best"
     snap_c = ckpt.restore(run_dir, obj)
-    snap_s = ckpt.restore(run_dir, score)
     # untyped restore returns the raw pytree; pull params out
     save_params_npz(out_dir / f"coord_e2e{sfx}.npz", snap_c["params"])
-    save_params_npz(out_dir / f"score_e2e{sfx}.npz", snap_s["params"])
+    if not args.coord_only:
+        snap_s = ckpt.restore(run_dir, score)
+        save_params_npz(out_dir / f"score_e2e{sfx}.npz", snap_s["params"])
     print(f"Exported {obj} weights (step {snap_c['step']}) from {run_dir} "
           f"to {out_dir}/*{sfx}.npz")
 
